@@ -1,0 +1,27 @@
+"""Test bootstrap: force JAX onto 8 virtual CPU devices.
+
+The reference's tests require physical hardware (`/root/reference/src/utils.rs:60-75`
+unwraps /dev/xdma* opens) so its CI never runs them.  We do better: everything
+here runs hardware-free on a virtual 8-device CPU mesh so single-chip math AND
+the multi-chip sharding paths are exercised in CI.
+"""
+import os
+
+# Must happen before the first JAX backend initialization.  The container's
+# sitecustomize registers the `axon` TPU platform at interpreter start, but
+# platform *selection* happens lazily — overriding here still wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+# The box has a single vCPU and XLA:CPU compiles the big-integer graphs
+# slowly; the persistent cache makes every compile a one-time cost.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
