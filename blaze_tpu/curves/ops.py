@@ -180,12 +180,22 @@ class Curve:
 
     # -------------------------------------------------------- scalar mul
     def scalar_mul(self, p, k: int):
-        """p * k for a fixed python-int scalar (test/oracle use)."""
-        if k == 0:
-            return self.identity(p.shape[:-2])
-        acc = self.identity(p.shape[:-2])
-        for bit in bin(k)[2:]:
+        """p * k for a python-int scalar (test/oracle use).
+
+        Fixed-width double-and-add via fori_loop so the graph stays small
+        (one dbl+add body) regardless of scalar size.
+        """
+        nbits = self.spec.fr.bits
+        k %= self.spec.fr.p
+        kbits = jnp.asarray(
+            [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+        )
+
+        def body(i, acc):
             acc = self.dbl(acc)
-            if bit == "1":
-                acc = self.add(acc, p)
-        return acc
+            added = self.add(acc, p)
+            take = jnp.broadcast_to(kbits[i] == 1, acc.shape[:-2])
+            return self.select(take, added, acc)
+
+        init = self.identity(p.shape[:-2])
+        return jax.lax.fori_loop(0, nbits, body, init)

@@ -1,0 +1,202 @@
+"""Number-theoretic transform over NTT-friendly scalar fields.
+
+The reference's NTT is a fixed 2^27 FPGA kernel fed through a 16-bank HBM
+scatter/gather shuffle done on the host CPU (`/root/reference/src/ingo_ntt/
+ntt_data.rs:65-156`).  Here the transform itself is computed on TPU:
+
+  * iterative radix-2 DIT butterflies after a bit-reversal permutation —
+    every stage is a dense reshape + batched Montgomery multiply (VPU);
+  * per-stage twiddle tables precomputed host-side, Montgomery form;
+  * a four-step (Bailey) decomposition for sizes whose twiddle/working sets
+    exceed a single pass — the transpose between the two passes is the
+    TPU analog of the reference's 16-bank shuffle, and becomes an
+    all_to_all over the mesh in the distributed path (dist/ntt_dist.py).
+
+Data layout: (..., n, L) uint32 16-bit limbs, Montgomery form, natural
+order in and out.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.mont import Field
+from ..fields.spec import FieldSpec, int_to_limbs
+
+
+def _bitrev_perm(logn: int) -> np.ndarray:
+    n = 1 << logn
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+class NTTPlan:
+    """Precomputed twiddles + permutations for one (field, logn)."""
+
+    def __init__(self, spec: FieldSpec, logn: int):
+        if logn > spec.two_adicity:
+            raise ValueError(
+                f"{spec.name}: 2-adicity {spec.two_adicity} < logn {logn}"
+            )
+        self.spec = spec
+        self.field = Field(spec)
+        self.logn = logn
+        self.n = 1 << logn
+        p, L = spec.p, spec.nlimbs
+        w = spec.root_of_unity(logn)
+        winv = pow(w, -1, p)
+        self.w = w
+        self.w_inv = winv
+
+        def stage_tables(root):
+            tables = []
+            for s in range(logn):
+                m = 1 << (s + 1)
+                wm = pow(root, self.n // m, p)
+                cur, vals = 1, []
+                for _ in range(1 << s):
+                    vals.append((cur * spec.r) % p)  # Montgomery form
+                    cur = cur * wm % p
+                tab = np.stack([int_to_limbs(v, L) for v in vals])
+                tables.append(tab.astype(np.uint32))
+            return tables
+
+        self.twiddles_fwd = stage_tables(w)
+        self.twiddles_inv = stage_tables(winv)
+        self.bitrev = _bitrev_perm(logn)
+        ninv = pow(self.n, -1, p)
+        self.n_inv_mont = np.asarray(
+            int_to_limbs((ninv * spec.r) % p, L), dtype=np.uint32
+        )
+
+    # ------------------------------------------------------------- kernels
+    def _stages(self, x, tables):
+        """x: (..., n, L) bit-reversed order in, natural order out."""
+        f = self.field
+        n, L = self.n, self.spec.nlimbs
+        batch = x.shape[:-2]
+        for s in range(self.logn):
+            half = 1 << s
+            x = x.reshape(*batch, n >> (s + 1), 2, half, L)
+            a = x[..., 0, :, :]
+            b = f.mul(x[..., 1, :, :], jnp.asarray(tables[s]))
+            x = jnp.stack([f.add(a, b), f.sub(a, b)], axis=-3)
+        return x.reshape(*batch, n, L)
+
+    def _fwd(self, x):
+        x = jnp.take(x, jnp.asarray(self.bitrev), axis=-2)
+        return self._stages(x, self.twiddles_fwd)
+
+    def _inv(self, x):
+        x = jnp.take(x, jnp.asarray(self.bitrev), axis=-2)
+        x = self._stages(x, self.twiddles_inv)
+        return self.field.mul(x, jnp.asarray(self.n_inv_mont))
+
+    @functools.cached_property
+    def ntt(self):
+        """Forward NTT, jitted. (..., n, L) Montgomery -> same."""
+        return jax.jit(self._fwd)
+
+    @functools.cached_property
+    def intt(self):
+        """Inverse NTT, jitted."""
+        return jax.jit(self._inv)
+
+
+class FourStepNTT:
+    """Bailey four-step decomposition: n = n1 * n2 (for large n).
+
+    View coefficients as a (n1, n2) row-major matrix A (a[i] = A[i//n2,
+    i%n2]).  Then NTT(a) = flatten_T( NTT_rows( twiddle * NTT_cols(A) ) ):
+
+      1. n2 column NTTs of size n1 (batched over columns);
+      2. elementwise multiply by W^(i*j), W the n-th root;
+      3. n1 row NTTs of size n2 (batched over rows);
+      4. output element (j, i) read as X[j*n1 + i] (transpose).
+
+    The step-4 transpose is the reference's bank-shuffle analog
+    (ntt_data.rs:80-156) and the all_to_all boundary when sharded.
+    """
+
+    def __init__(self, spec: FieldSpec, logn: int, logn1: int | None = None):
+        self.spec = spec
+        self.field = Field(spec)
+        self.logn = logn
+        self.logn1 = logn1 if logn1 is not None else logn // 2
+        self.logn2 = logn - self.logn1
+        self.n1, self.n2 = 1 << self.logn1, 1 << self.logn2
+        self.plan1 = NTTPlan(spec, self.logn1)
+        self.plan2 = NTTPlan(spec, self.logn2)
+
+        p, L = spec.p, spec.nlimbs
+        w = spec.root_of_unity(logn)
+        self._tw_fwd = self._twiddle_matrix(w)
+        self._tw_inv = self._twiddle_matrix(pow(w, -1, p))
+        # no global n^-1 scale needed: the sub-plans' inverse passes already
+        # apply n1^-1 and n2^-1, and n1^-1 * n2^-1 == n^-1.
+
+    def _twiddle_matrix(self, w):
+        """W^(i*j) for i<n1, j<n2, Montgomery form, computed on host.
+
+        Host-side cost is O(n) python bigint muls — acceptable up to ~2^22;
+        larger sizes should use the sharded path which builds per-shard
+        twiddle tiles.
+        """
+        p, L = self.spec.p, self.spec.nlimbs
+        rows = []
+        wi = 1
+        for i in range(self.n1):
+            row, cur = [], 1
+            for j in range(self.n2):
+                row.append((cur * self.spec.r) % p)
+                cur = cur * wi % p
+            rows.append([int_to_limbs(v, L) for v in row])
+            wi = wi * w % p
+        return np.asarray(rows, dtype=np.uint32)  # (n1, n2, L)
+
+    def _fwd(self, x):
+        f = self.field
+        n1, n2, L = self.n1, self.n2, self.spec.nlimbs
+        a = x.reshape(*x.shape[:-2], n1, n2, L)
+        # column NTTs: transform over the n1 axis (move it last-but-one)
+        a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
+        a = self.plan1._fwd(a)
+        a = jnp.swapaxes(a, -3, -2)                 # (..., n1, n2, L)
+        a = f.mul(a, jnp.asarray(self._tw_fwd))
+        a = self.plan2._fwd(a)                      # row NTTs over n2 axis
+        # output index (j, i) -> X[j * n1 + i]
+        a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
+        return a.reshape(*x.shape[:-2], n1 * n2, L)
+
+    def _inv(self, x):
+        f = self.field
+        n1, n2, L = self.n1, self.n2, self.spec.nlimbs
+        a = x.reshape(*x.shape[:-2], n2, n1, L)     # inverse of final transpose
+        a = jnp.swapaxes(a, -3, -2)                 # (..., n1, n2, L)
+        a = self.plan2._inv(a)
+        a = f.mul(a, jnp.asarray(self._tw_inv))
+        a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
+        a = self.plan1._inv(a)
+        a = jnp.swapaxes(a, -3, -2)
+        return a.reshape(*x.shape[:-2], n1 * n2, L)
+
+    @functools.cached_property
+    def ntt(self):
+        return jax.jit(self._fwd)
+
+    @functools.cached_property
+    def intt(self):
+        return jax.jit(self._inv)
+
+
+def make_ntt(spec: FieldSpec, logn: int, four_step_threshold: int = 20):
+    """Factory: single-pass plan for small n, four-step beyond."""
+    if logn <= four_step_threshold:
+        return NTTPlan(spec, logn)
+    return FourStepNTT(spec, logn)

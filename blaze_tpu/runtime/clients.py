@@ -1,0 +1,413 @@
+"""Primitive clients: MSM, NTT, Poseidon — the ingo_* module analogs.
+
+API shape follows the reference's clients 1:1 (init struct -> lifecycle
+methods -> wire-format results), with JAX async dispatch supplying the
+queue/poll machinery the FPGA exposes as registers.
+
+MSM     <- /root/reference/src/ingo_msm/msm_api.rs
+NTT     <- /root/reference/src/ingo_ntt/ntt_api.rs
+Poseidon<- /root/reference/src/ingo_hash/poseidon_api.rs
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import (
+    CURVE_ALIASES,
+    CURVES,
+    Curve,
+    decode_affine_points,
+    decode_scalars,
+    encode_projective_result,
+)
+from ..fields.codec import bytes_to_limbs, limbs_to_bytes
+from ..fields.spec import FieldSpec
+from ..hash.params import PoseidonParams, params_from_csv
+from ..hash.tree import MerkleTreeBuilder, TreeMode, base_layer_size, num_tree_nodes, LEAF_ARITY
+from ..msm import MSM, MSMConfig
+from ..ntt import make_ntt
+from .device import DeviceContext
+from .primitive import DriverPrimitive, ImageParams, timed
+
+
+def _resolve_curve(curve) -> Curve:
+    if isinstance(curve, Curve):
+        return curve
+    if curve in CURVE_ALIASES:
+        return Curve(CURVE_ALIASES[curve])
+    return Curve(CURVES[curve])
+
+
+# ============================================================== MSM client
+@dataclasses.dataclass
+class MSMInit:
+    """msm_api.rs:16-22 analog."""
+
+    curve: str = "bls12_381"
+    mem_type: str = "dma"           # 'dma' | 'hbm' (PointMemoryType)
+    precompute_factor: int = 1      # reference uses 1 or 8 (msm_api.rs:39-40)
+
+
+@dataclasses.dataclass
+class MSMParams:
+    """msm_api.rs:25-30 analog."""
+
+    nof_elements: int
+    hbm_point_addr: Optional[str] = None  # cache key (HBM addr analog)
+
+
+@dataclasses.dataclass
+class MSMInput:
+    """msm_api.rs:32-37 analog; three set_data modes (README.md:83-113)."""
+
+    scalars: object                  # bytes or (N, Ls) uint32 limbs
+    points: Optional[object] = None  # bytes or (N, 2, L) canonical limbs
+    params: Optional[MSMParams] = None
+
+
+@dataclasses.dataclass
+class MSMResult:
+    """msm_api.rs result analog: z||y||x LE bytes + task label."""
+
+    result: bytes
+    label: int
+
+
+class MSMClient(DriverPrimitive):
+    def __init__(self, init: MSMInit, ctx: Optional[DeviceContext] = None,
+                 config: Optional[MSMConfig] = None):
+        super().__init__()
+        self.init = init
+        self.ctx = ctx or DeviceContext()
+        self.curve = _resolve_curve(init.curve)
+        self.engine = MSM(self.curve, config)
+        self._params: Optional[MSMParams] = None
+        self._points = None            # device (N,2,L) Montgomery affine
+        self._scalars = None           # device (N,Ls) canonical limbs
+        self._pending = None           # in-flight result array
+        self._hbm_cache: dict = {}     # persistent point residency (mode 3)
+
+    def loaded_binary_parameters(self) -> ImageParams:
+        spec = self.curve.spec
+        return ImageParams(
+            "msm",
+            {
+                "curve": spec.name,
+                "point_bytes": spec.point_bytes,
+                "result_bytes": spec.result_bytes,
+                "scalar_bytes": spec.scalar_bytes,
+                "precompute_factor": self.init.precompute_factor,
+                "window_bits": self.engine.config.window_bits,
+                "mem_type": self.init.mem_type,
+            },
+        )
+
+    def initialize(self, param: MSMParams) -> None:
+        """Set task size / point source (msm_api.rs:72-111)."""
+        self._params = param
+
+    def set_data(self, input: MSMInput) -> None:
+        """Three modes (msm_api.rs:122-220):
+        1. points + scalars (DMA);
+        2. points cached under a key + scalars (HBM load);
+        3. scalars only, points reused from cache (HBM reuse)."""
+        with timed(self._timings, "set_data_s"):
+            params = input.params or self._params
+            if params is None:
+                raise RuntimeError("initialize() first (no MSMParams)")
+            self._params = params
+            spec = self.curve.spec
+
+            if isinstance(input.scalars, (bytes, bytearray, memoryview)):
+                scal = decode_scalars(input.scalars, spec)
+            else:
+                scal = np.asarray(input.scalars, dtype=np.uint32)
+            if scal.shape[0] != params.nof_elements:
+                raise ValueError(
+                    f"scalars {scal.shape[0]} != nof_elements {params.nof_elements}"
+                )
+            self._scalars = jax.device_put(jnp.asarray(scal), self.ctx.device)
+
+            key = params.hbm_point_addr
+            if input.points is not None:
+                if isinstance(input.points, (bytes, bytearray, memoryview)):
+                    pts = decode_affine_points(input.points, spec)
+                else:
+                    pts = np.asarray(input.points, dtype=np.uint32)
+                dev = jax.device_put(jnp.asarray(pts), self.ctx.device)
+                dev = self.curve.fq.to_mont(dev)
+                if key is not None:
+                    self._hbm_cache[key] = dev      # mode 2: load-to-HBM
+                self._points = dev
+            else:
+                if key is None or key not in self._hbm_cache:
+                    raise RuntimeError(
+                        "scalars-only set_data needs points cached under "
+                        f"hbm_point_addr (key={key!r})"
+                    )
+                self._points = self._hbm_cache[key]  # mode 3: reuse
+
+    def start_process(self, param=None) -> None:
+        """Queue the task (PUSH_MSM_TASK analog, msm_api.rs:113-120).
+        Returns immediately: JAX dispatch is async."""
+        if self._points is None or self._scalars is None:
+            raise RuntimeError("set_data() first")
+        with timed(self._timings, "start_s"):
+            self._push_task()
+            self._pending = self.engine(self._points, self._scalars)
+
+    def wait_result(self) -> None:
+        """Block until done (RESULT_VALID poll analog, msm_api.rs:222-238)."""
+        if self._pending is None:
+            return
+        with timed(self._timings, "wait_s"):
+            jax.block_until_ready(self._pending)
+
+    def result(self, param=None) -> Optional[MSMResult]:
+        if self._pending is None:
+            return None
+        self.wait_result()
+        proj = self.curve.fq.from_mont(self._pending)  # (3, L) canonical
+        raw = encode_projective_result(np.asarray(proj), self.curve.spec)
+        label = self._pop_task()
+        self._pending = None
+        return MSMResult(result=raw, label=label if label is not None else 0)
+
+    # -------------------------------------------------------- HBM helpers
+    def load_data_to_hbm(self, key: str, points) -> None:
+        """Explicit point residency (msm_api.rs:299-311)."""
+        spec = self.curve.spec
+        if isinstance(points, (bytes, bytearray, memoryview)):
+            points = decode_affine_points(points, spec)
+        dev = jax.device_put(jnp.asarray(np.asarray(points, np.uint32)),
+                             self.ctx.device)
+        self._hbm_cache[key] = self.curve.fq.to_mont(dev)
+
+    def get_data_from_hbm(self, key: str):
+        """Read back cached points, canonical limbs (msm_api.rs:313-322)."""
+        dev = self._hbm_cache[key]
+        return np.asarray(self.curve.fq.from_mont(dev))
+
+    def is_msm_engine_ready(self) -> bool:
+        return self._pending is None
+
+    def get_api(self) -> dict:
+        """Register-dump analog (msm_api.rs:324-330)."""
+        return {
+            "pending_tasks": self.pending_tasks,
+            "task_label": self.task_label,
+            "timings": dataclasses.asdict(self._timings),
+            "health": dataclasses.asdict(self.ctx.health()),
+        }
+
+
+# ============================================================== NTT client
+@dataclasses.dataclass
+class NTTInit:
+    """ntt_api.rs analog; size is configurable here (fixed 2^27 there)."""
+
+    field: object                  # FieldSpec or name in fields.FIELDS
+    logn: int
+
+
+@dataclasses.dataclass
+class NTTInput:
+    """ntt_api.rs:72-87 analog: raw LE bytes + host buffer index."""
+
+    data: object                   # bytes or (n, L) canonical limbs
+    buf_host: int = 0              # double-buffer slot (ntt_data.rs:54-56)
+
+
+class NTTClient(DriverPrimitive):
+    """Double-buffered NTT: two device slots, start/wait per slot —
+    behavioral parity with the pipelined flow (integration_ntt.rs:103-136)."""
+
+    NOF_BUFFERS = 2
+
+    def __init__(self, init: NTTInit, ctx: Optional[DeviceContext] = None,
+                 inverse: bool = False):
+        super().__init__()
+        from ..fields import FIELDS
+
+        self.spec: FieldSpec = (
+            init.field if isinstance(init.field, FieldSpec) else FIELDS[init.field]
+        )
+        self.logn = init.logn
+        self.ctx = ctx or DeviceContext()
+        self.plan = make_ntt(self.spec, init.logn)
+        self.inverse = inverse
+        self._slots = [None] * self.NOF_BUFFERS      # device inputs (mont)
+        self._results = [None] * self.NOF_BUFFERS    # in-flight outputs
+
+    def loaded_binary_parameters(self) -> ImageParams:
+        return ImageParams(
+            "ntt",
+            {
+                "field": self.spec.name,
+                "logn": self.logn,
+                "element_bytes": self.spec.nbytes,
+                "buffers": self.NOF_BUFFERS,
+            },
+        )
+
+    def initialize(self, param=None) -> None:
+        """No-op (the reference writes disabled debug regs, ntt_api.rs:37-56)."""
+
+    def set_data(self, input: NTTInput) -> None:
+        with timed(self._timings, "set_data_s"):
+            if isinstance(input.data, (bytes, bytearray, memoryview)):
+                limbs = bytes_to_limbs(input.data, self.spec)
+            else:
+                limbs = np.asarray(input.data, dtype=np.uint32)
+            n = 1 << self.logn
+            if limbs.shape[0] != n:
+                raise ValueError(f"want {n} elements, got {limbs.shape[0]}")
+            dev = jax.device_put(jnp.asarray(limbs), self.ctx.device)
+            self._slots[input.buf_host] = self.plan.field.to_mont(dev)
+
+    def start_process(self, buf_kernel: int = 0) -> None:
+        """Kick the transform on a buffer (AP_CTRL start, ntt_api.rs:58-70)."""
+        if self._slots[buf_kernel] is None:
+            raise RuntimeError(f"buffer {buf_kernel} empty")
+        with timed(self._timings, "start_s"):
+            self._push_task()
+            fn = self.plan.intt if self.inverse else self.plan.ntt
+            self._results[buf_kernel] = fn(self._slots[buf_kernel])
+
+    def wait_result(self) -> None:
+        """ap_done poll analog (ntt_api.rs:89-108)."""
+        with timed(self._timings, "wait_s"):
+            for r in self._results:
+                if r is not None:
+                    jax.block_until_ready(r)
+
+    def result(self, buf_kernel: int = 0) -> Optional[bytes]:
+        """Drain a buffer back to LE bytes (ntt_api.rs:110-125)."""
+        r = self._results[buf_kernel]
+        if r is None:
+            return None
+        canon = self.plan.field.from_mont(r)
+        self._results[buf_kernel] = None
+        self._pop_task()
+        return limbs_to_bytes(np.asarray(canon), self.spec)
+
+
+# ========================================================== Poseidon client
+@dataclasses.dataclass
+class PoseidonInitializeParameters:
+    """poseidon_api.rs:20-24 analog."""
+
+    tree_height: int
+    tree_mode: TreeMode = TreeMode.TREE_C
+    instruction_path: Optional[str] = None  # CSV constants (optional)
+
+
+@dataclasses.dataclass
+class PoseidonResult:
+    """poseidon_api.rs:36-71 analog: 32 B hash + ids."""
+
+    hash: bytes
+    hash_id: int
+    layer_id: int
+
+
+class PoseidonClient(DriverPrimitive):
+    def __init__(self, field="bls12_381_fr", ctx: Optional[DeviceContext] = None):
+        super().__init__()
+        from ..fields import FIELDS
+
+        self.spec: FieldSpec = (
+            field if isinstance(field, FieldSpec) else FIELDS[field]
+        )
+        self.ctx = ctx or DeviceContext()
+        self._param: Optional[PoseidonInitializeParameters] = None
+        self._builder: Optional[MerkleTreeBuilder] = None
+        self._stream: list = []     # accumulated 32 B elements
+        self._tree = None
+
+    def loaded_binary_parameters(self) -> ImageParams:
+        return ImageParams(
+            "poseidon",
+            {
+                "field": self.spec.name,
+                "element_bytes": self.spec.nbytes,
+                "leaf_arity": LEAF_ARITY,
+                "tree_arity": 8,
+            },
+        )
+
+    def initialize(self, param: PoseidonInitializeParameters) -> None:
+        """Reset + constants load + tree params (poseidon_api.rs:96-111)."""
+        self._param = param
+        leaf_params = node_params = None
+        if param.instruction_path:
+            leaf_params = params_from_csv(
+                self.spec, param.instruction_path, LEAF_ARITY + 1
+            )
+        self._builder = MerkleTreeBuilder(
+            self.spec, leaf_params=leaf_params, node_params=node_params
+        )
+        self._stream.clear()
+        self._tree = None
+
+    def set_data(self, data) -> None:
+        """Stream 32 B elements (poseidon_api.rs:117-122); the reference
+        feeds 11 elements per leaf (integration_poseidon.rs:151-155)."""
+        with timed(self._timings, "set_data_s"):
+            limbs = (
+                bytes_to_limbs(data, self.spec)
+                if isinstance(data, (bytes, bytearray, memoryview))
+                else np.asarray(data, dtype=np.uint32).reshape(-1, self.spec.nlimbs)
+            )
+            self._stream.extend(limbs)
+
+    def get_last_element_sent_to_ring(self) -> int:
+        """Element counter (sanity-test contract,
+        integration_poseidon.rs:52-56)."""
+        return len(self._stream)
+
+    def start_process(self, param=None) -> None:
+        if self._param is None or self._builder is None:
+            raise RuntimeError("initialize() first")
+        h = self._param.tree_height
+        nleaves = base_layer_size(h)
+        want = nleaves * (LEAF_ARITY if self._param.tree_mode == TreeMode.TREE_C
+                          else 1)
+        if len(self._stream) < want:
+            raise RuntimeError(
+                f"need {want} elements for height {h}, have {len(self._stream)}"
+            )
+        with timed(self._timings, "start_s"):
+            self._push_task()
+            arr = np.stack(self._stream[:want])
+            if self._param.tree_mode == TreeMode.TREE_C:
+                arr = arr.reshape(nleaves, LEAF_ARITY, self.spec.nlimbs)
+            self._tree = self._builder.build(arr, h, self._param.tree_mode)
+
+    def wait_result(self) -> None:
+        with timed(self._timings, "wait_s"):
+            pass  # build() is synchronous today; async variant TBD
+
+    def result(self, expected_count: Optional[int] = None):
+        """Drain records (poseidon_api.rs:128-145)."""
+        if self._tree is None:
+            return None
+        recs = [
+            PoseidonResult(
+                hash=limbs_to_bytes(h, self.spec), hash_id=hid, layer_id=lid
+            )
+            for (h, lid, hid) in self._tree.records()
+        ]
+        self._pop_task()
+        if expected_count is not None and len(recs) != expected_count:
+            raise RuntimeError(f"expected {expected_count} nodes, got {len(recs)}")
+        return recs
+
+    @property
+    def root(self):
+        return None if self._tree is None else self._tree.root

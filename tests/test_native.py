@@ -1,0 +1,55 @@
+"""Native (C++/ctypes) marshalling layer vs numpy fallback."""
+import numpy as np
+
+from blaze_tpu.native import (
+    bank_merge,
+    bank_split,
+    bytes_to_limbs,
+    have_native,
+    limbs_to_bytes,
+    transpose,
+)
+from blaze_tpu.native import codec as codec_mod
+
+
+def test_limb_roundtrip_both_paths():
+    data = bytes(range(256)) * 3  # 24 elements of 32 B
+    native = bytes_to_limbs(data, 32)
+    # force the numpy fallback and compare
+    saved = codec_mod._LIB
+    codec_mod._LIB = False
+    try:
+        fallback = bytes_to_limbs(data, 32)
+        assert (native == fallback).all()
+        assert limbs_to_bytes(fallback, 32) == data
+    finally:
+        codec_mod._LIB = saved
+    assert limbs_to_bytes(native, 32) == data
+
+
+def test_bank_roundtrip_both_paths():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=16 * 8 * 32, dtype=np.uint8).tobytes()
+    banks = bank_split(data, 32, 16)
+    assert len(banks) == 16
+    assert bank_merge(banks, 32) == data
+    saved = codec_mod._LIB
+    codec_mod._LIB = False
+    try:
+        assert bank_split(data, 32, 16) == banks
+        assert bank_merge(banks, 32) == data
+    finally:
+        codec_mod._LIB = saved
+
+
+def test_transpose_roundtrip():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=8 * 16 * 32, dtype=np.uint8).tobytes()
+    t = transpose(data, 8, 16, 32)
+    assert transpose(t, 16, 8, 32) == data
+    saved = codec_mod._LIB
+    codec_mod._LIB = False
+    try:
+        assert transpose(data, 8, 16, 32) == t
+    finally:
+        codec_mod._LIB = saved
