@@ -22,7 +22,21 @@ from .spec import CurveSpec
 
 
 class Curve:
-    """Batched group ops bound to one CurveSpec. Stateless; jit-friendly."""
+    """Batched group ops bound to one CurveSpec. Stateless; jit-friendly.
+
+    As with Field, use `jit_op('add')` etc. for standalone calls — cached
+    jitted wrappers shared per curve across instances.
+    """
+
+    _JIT_CACHE: dict = {}
+
+    def jit_op(self, name: str):
+        key = (self.spec.name, name)
+        fn = Curve._JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(getattr(self, name))
+            Curve._JIT_CACHE[key] = fn
+        return fn
 
     def __init__(self, spec: CurveSpec):
         self.spec = spec

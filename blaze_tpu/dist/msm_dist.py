@@ -15,7 +15,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..curves.ops import Curve
 from ..msm.pippenger import MSM, MSMConfig
@@ -52,12 +51,11 @@ class DistributedMSM:
             total = self._reduce_wsums(gathered)
             return self.engine.fold_windows(total, c)            # (3, L)
 
-        fn = shard_map(
+        fn = jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis)),
             out_specs=P(),  # replicated result
-            check_rep=False,
         )
         return fn(points, scalars)
 

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..fields.mont import Field
 from ..fields.spec import FieldSpec, int_to_limbs
@@ -102,18 +101,16 @@ class DistributedNTT:
             return jnp.swapaxes(a, 0, 1)             # (n1, n2/D, L)
 
         if inverse:
-            fn = shard_map(
+            fn = jax.shard_map(
                 inv_local, mesh=self.mesh,
                 in_specs=(P(self.axis), P(None, self.axis)),
                 out_specs=P(None, self.axis),
-                check_rep=False,
             )
             return fn(x, tw)
-        fn = shard_map(
+        fn = jax.shard_map(
             fwd_local, mesh=self.mesh,
             in_specs=(P(None, self.axis), P(None, self.axis)),
             out_specs=P(self.axis),
-            check_rep=False,
         )
         return fn(x, tw)
 

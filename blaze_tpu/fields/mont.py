@@ -30,7 +30,23 @@ _U32 = jnp.uint32
 
 
 class Field:
-    """Batched field ops bound to one FieldSpec. Stateless; jit-friendly."""
+    """Batched field ops bound to one FieldSpec. Stateless; jit-friendly.
+
+    Methods are designed to be called inside larger jitted programs.  For
+    standalone use (tests, host-side glue) use `jit_op('mul')` etc. — cached
+    jitted wrappers, one compile per (op, shape) per process, persisted in
+    the XLA compilation cache across processes.
+    """
+
+    _JIT_CACHE: dict = {}
+
+    def jit_op(self, name: str):
+        key = (self.spec.name, name)
+        fn = Field._JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(getattr(self, name))
+            Field._JIT_CACHE[key] = fn
+        return fn
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
@@ -225,12 +241,12 @@ class Field:
                 [int_to_limbs(v % self.spec.p, self.nlimbs) for v in xs]
             )
         out = jnp.asarray(arr, dtype=_U32)
-        return self.to_mont(out) if mont else out
+        return self.jit_op("to_mont")(out) if mont else out
 
     def to_int(self, a, mont=True):
         """Device limbs -> python int or nested list of ints."""
         if mont:
-            a = self.from_mont(a)
+            a = self.jit_op("from_mont")(a)
         arr = np.asarray(jax.device_get(a), dtype=np.uint64)
         flat = arr.reshape(-1, self.nlimbs)
         vals = [limbs_to_int(row) for row in flat]

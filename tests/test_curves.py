@@ -1,4 +1,9 @@
-"""Curve group-law tests vs the python oracle (all three curves)."""
+"""Curve group-law tests vs the python oracle (all three curves).
+
+All device calls go through cached jitted ops with a single batch shape
+(BATCH=8) per curve so each op compiles exactly once per process (and hits
+the persistent XLA cache across processes).
+"""
 import random
 
 import numpy as np
@@ -9,17 +14,18 @@ import jax.numpy as jnp
 from blaze_tpu.curves import CURVES, Curve
 from blaze_tpu.oracle import ECOracle
 
-BATCH = 7
+BATCH = 8
 
 
-@pytest.fixture(params=sorted(CURVES), ids=sorted(CURVES))
+@pytest.fixture(params=sorted(CURVES), ids=sorted(CURVES), scope="module")
 def env(request):
     spec = CURVES[request.param]
     return Curve(spec), ECOracle(spec)
 
 
 def to_proj(curve: Curve, pts):
-    """list of oracle points (or None) -> device projective, Montgomery."""
+    """list of BATCH oracle points (or None) -> device projective, Montgomery."""
+    assert len(pts) == BATCH
     f = curve.fq
     xs = [0 if p is None else p[0] for p in pts]
     ys = [1 if p is None else p[1] for p in pts]
@@ -27,16 +33,24 @@ def to_proj(curve: Curve, pts):
     return curve.pack(f.from_int(xs), f.from_int(ys), f.from_int(zs))
 
 
+def to_affine_dev(curve: Curve, pts):
+    """list of BATCH oracle points (no None) -> device affine (B,2,L) mont."""
+    f = curve.fq
+    return jnp.stack(
+        [f.from_int([p[0] for p in pts]), f.from_int([p[1] for p in pts])],
+        axis=-2,
+    )
+
+
 def to_oracle_affine(curve: Curve, p):
-    """device projective point batch -> list of oracle points."""
-    aff = curve.to_affine(p)
+    """device projective batch -> list of oracle points."""
+    aff = curve.jit_op("to_affine")(p)
     xs = curve.fq.to_int(aff[..., 0, :])
     ys = curve.fq.to_int(aff[..., 1, :])
-    ident = np.asarray(curve.is_identity(p))
-    out = []
-    for x, y, isid in zip(xs, ys, ident):
-        out.append(None if isid else (x, y))
-    return out
+    ident = np.asarray(curve.jit_op("is_identity")(p))
+    return [
+        None if isid else (x, y) for x, y, isid in zip(xs, ys, ident)
+    ]
 
 
 def rand_points(oracle, n, rng):
@@ -59,8 +73,8 @@ def test_add_matches_oracle(env):
     qs[2] = None
     ps[3] = None
     ps[4], qs[4] = None, None
-    got = curve.add(to_proj(curve, ps), to_proj(curve, qs))
-    assert np.asarray(curve.on_curve(got)).all()
+    got = curve.jit_op("add")(to_proj(curve, ps), to_proj(curve, qs))
+    assert np.asarray(curve.jit_op("on_curve")(got)).all()
     want = [oracle.add(p, q) for p, q in zip(ps, qs)]
     assert to_oracle_affine(curve, got) == want
 
@@ -70,7 +84,7 @@ def test_dbl_matches_oracle(env):
     rng = random.Random(11)
     ps = rand_points(oracle, BATCH, rng)
     ps[0] = None  # double of identity
-    got = curve.dbl(to_proj(curve, ps))
+    got = curve.jit_op("dbl")(to_proj(curve, ps))
     want = [oracle.dbl(p) for p in ps]
     assert to_oracle_affine(curve, got) == want
 
@@ -83,42 +97,39 @@ def test_add_mixed_matches_oracle(env):
     ps[0] = qs[0]                 # doubling through mixed add
     ps[1] = oracle.neg(qs[1])     # cancellation to identity
     ps[2] = None                  # identity + affine
-    f = curve.fq
-    q_aff = jnp.stack(
-        [f.from_int([q[0] for q in qs]), f.from_int([q[1] for q in qs])],
-        axis=-2,
-    )
-    got = curve.add_mixed(to_proj(curve, ps), q_aff)
+    got = curve.jit_op("add_mixed")(to_proj(curve, ps), to_affine_dev(curve, qs))
     want = [oracle.add(p, q) for p, q in zip(ps, qs)]
     assert to_oracle_affine(curve, got) == want
 
 
-def test_neg_and_sub(env):
+def test_neg_gives_identity(env):
     curve, oracle = env
     rng = random.Random(13)
-    ps = rand_points(oracle, 3, rng)
+    ps = rand_points(oracle, BATCH, rng)
     dev = to_proj(curve, ps)
-    s = curve.add(dev, curve.neg(dev))
-    assert np.asarray(curve.is_identity(s)).all()
+    s = curve.jit_op("add")(dev, curve.jit_op("neg")(dev))
+    assert np.asarray(curve.jit_op("is_identity")(s)).all()
 
 
 def test_scalar_mul(env):
     curve, oracle = env
     rng = random.Random(14)
-    p = rand_points(oracle, 1, rng)
-    for k in [0, 1, 2, 3, 5, 0xDEADBEEF]:
-        got = curve.scalar_mul(to_proj(curve, p), k)
-        assert to_oracle_affine(curve, got) == [oracle.mul(p[0], k)]
+    # one batched scalar_mul call: same k applied to BATCH points
+    ps = rand_points(oracle, BATCH, rng)
+    k = 0xDEADBEEF
+    got = curve.scalar_mul(to_proj(curve, ps), k)
+    want = [oracle.mul(p, k) for p in ps]
+    assert to_oracle_affine(curve, got) == want
 
 
 def test_on_curve_rejects(env):
     curve, oracle = env
     rng = random.Random(15)
-    p = rand_points(oracle, 1, rng)[0]
-    bad = (p[0], (p[1] + 1) % oracle.p)
-    dev = to_proj(curve, [p, bad])
-    oc = np.asarray(curve.on_curve(dev))
-    assert oc[0] and not oc[1]
+    ps = rand_points(oracle, BATCH, rng)
+    bad = (ps[1][0], (ps[1][1] + 1) % oracle.p)
+    ps[1] = bad
+    oc = np.asarray(curve.jit_op("on_curve")(to_proj(curve, ps)))
+    assert oc[0] and not oc[1] and oc[2:].all()
 
 
 def test_codec_roundtrip(env):
