@@ -85,78 +85,111 @@ class Curve:
 
     # ---------------------------------------------------------- group law
     def add(self, p, q):
-        """Complete projective addition (RCB alg 7, a=0). 12 field muls."""
+        """Complete projective addition (RCB alg 7, a=0). 12 field muls.
+
+        The muls are *wave-batched*: all mutually independent products are
+        stacked on a new leading axis and issued as ONE batched `f.mul`
+        (three waves: 6 + 2 + 6 products).  Same math, but the traced graph
+        holds 3 mul subgraphs instead of 12 — tracing/compilation drops
+        ~4x and the VPU sees larger fused batches.
+        """
         f = self.fq
         b3 = jnp.asarray(self._b3)
         X1, Y1, Z1 = self.unpack(p)
         X2, Y2, Z2 = self.unpack(q)
 
-        t0 = f.mul(X1, X2)
-        t1 = f.mul(Y1, Y2)
-        t2 = f.mul(Z1, Z2)
-        t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
-        t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
-        t4 = f.mul(f.add(Y1, Z1), f.add(Y2, Z2))
-        t4 = f.sub(t4, f.add(t1, t2))            # Y1Z2 + Y2Z1
-        t5 = f.mul(f.add(X1, Z1), f.add(X2, Z2))
-        t5 = f.sub(t5, f.add(t0, t2))            # X1Z2 + X2Z1
-
-        t0 = f.add(f.double(t0), t0)             # 3 X1X2
-        t2 = f.mul(b3, t2)                       # 3b Z1Z2
-        z3 = f.add(t1, t2)                       # Y1Y2 + 3bZ1Z2
-        t1 = f.sub(t1, t2)                       # Y1Y2 - 3bZ1Z2
-        y3 = f.mul(b3, t5)                       # 3b (X1Z2 + X2Z1)
-
-        X3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
-        Y3 = f.add(f.mul(t1, z3), f.mul(t0, y3))
-        Z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+        # operand sums for the cross terms, one batched add
+        s = f.add(
+            jnp.stack([X1, X2, Y1, Y2, X1, X2]),
+            jnp.stack([Y1, Y2, Z1, Z2, Z1, Z2]),
+        )
+        # wave 1: all products of the inputs
+        m = f.mul(
+            jnp.stack([X1, Y1, Z1, s[0], s[2], s[4]]),
+            jnp.stack([X2, Y2, Z2, s[1], s[3], s[5]]),
+        )
+        m0, m1, m2 = m[0], m[1], m[2]            # X1X2, Y1Y2, Z1Z2
+        u = f.add(jnp.stack([m0, m1, m0, m0]), jnp.stack([m1, m2, m2, m0]))
+        v = f.sub(m[3:6], u[0:3])                # t3, t4, t5 cross sums
+        t3, t4, t5 = v[0], v[1], v[2]
+        t0 = f.add(u[3], m0)                     # 3 X1X2
+        # wave 2: constant products with b3
+        w = f.mul(b3, jnp.stack([m2, t5]))
+        z3 = f.add(m1, w[0])                     # Y1Y2 + 3bZ1Z2
+        t1 = f.sub(m1, w[0])                     # Y1Y2 - 3bZ1Z2
+        # wave 3: output products
+        r = f.mul(
+            jnp.stack([t3, t4, t1, t0, z3, t0]),
+            jnp.stack([t1, w[1], z3, w[1], t4, t3]),
+        )
+        X3 = f.sub(r[0], r[1])
+        Y3 = f.add(r[2], r[3])
+        Z3 = f.add(r[4], r[5])
         return self.pack(X3, Y3, Z3)
 
     def add_mixed(self, p, q_affine):
         """Complete mixed addition (RCB alg 8, a=0), q affine (x, y) stacked
-        as uint32[..., 2, L]. 11 field muls. Handles p = identity; q must be
-        a real point (affine encoding cannot express the identity)."""
+        as uint32[..., 2, L]. 11 field muls, wave-batched (5 + 2 + 6; see
+        `add`). Handles p = identity; q must be a real point (affine
+        encoding cannot express the identity)."""
         f = self.fq
         b3 = jnp.asarray(self._b3)
         X1, Y1, Z1 = self.unpack(p)
         X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
 
-        t0 = f.mul(X1, X2)
-        t1 = f.mul(Y1, Y2)
-        t3 = f.mul(f.add(X2, Y2), f.add(X1, Y1))
-        t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
-        t4 = f.add(f.mul(Y2, Z1), Y1)            # Y1 + Y2Z1
-        y3 = f.add(f.mul(X2, Z1), X1)            # X1 + X2Z1
-
-        t0 = f.add(f.double(t0), t0)             # 3 X1X2
-        t2 = f.mul(b3, Z1)                       # 3b Z1
-        z3 = f.add(t1, t2)
-        t1 = f.sub(t1, t2)
-        y3 = f.mul(b3, y3)
-
-        X3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
-        Y3 = f.add(f.mul(t1, z3), f.mul(t0, y3))
-        Z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+        s = f.add(jnp.stack([X1, X2]), jnp.stack([Y1, Y2]))
+        # wave 1: X1X2, Y1Y2, (X1+Y1)(X2+Y2), Y2Z1, X2Z1
+        m = f.mul(
+            jnp.stack([X1, Y1, s[0], Y2, X2]),
+            jnp.stack([X2, Y2, s[1], Z1, Z1]),
+        )
+        m0, m1 = m[0], m[1]
+        u = f.add(
+            jnp.stack([m0, m[3], m[4], m0]),
+            jnp.stack([m1, Y1, X1, m0]),
+        )
+        t3 = f.sub(m[2], u[0])                   # X1Y2 + X2Y1
+        t4 = u[1]                                # Y1 + Y2Z1
+        t0 = f.add(u[3], m0)                     # 3 X1X2
+        # wave 2: b3*Z1, b3*(X1 + X2Z1)
+        w = f.mul(b3, jnp.stack([Z1, u[2]]))
+        z3 = f.add(m1, w[0])
+        t1 = f.sub(m1, w[0])
+        # wave 3
+        r = f.mul(
+            jnp.stack([t3, t4, t1, t0, z3, t0]),
+            jnp.stack([t1, w[1], z3, w[1], t4, t3]),
+        )
+        X3 = f.sub(r[0], r[1])
+        Y3 = f.add(r[2], r[3])
+        Z3 = f.add(r[4], r[5])
         return self.pack(X3, Y3, Z3)
 
     def dbl(self, p):
-        """Complete doubling (RCB alg 9, a=0). 6M + 2S."""
+        """Complete doubling (RCB alg 9, a=0). 6M + 2S, wave-batched
+        (4 + 1 + 4; see `add`)."""
         f = self.fq
         b3 = jnp.asarray(self._b3)
         X, Y, Z = self.unpack(p)
 
-        t0 = f.square(Y)
-        z3 = f.double(f.double(f.double(t0)))    # 8 Y^2
-        t1 = f.mul(Y, Z)
-        t2 = f.mul(b3, f.square(Z))              # 3b Z^2
-        X3 = f.mul(t2, z3)
-        Y3 = f.add(t0, t2)
-        Z3 = f.mul(t1, z3)
-        t1 = f.double(t2)
-        t2 = f.add(t1, t2)                       # 9b Z^2
-        t0 = f.sub(t0, t2)                       # Y^2 - 9bZ^2
-        Y3 = f.add(X3, f.mul(t0, Y3))
-        X3 = f.double(f.mul(t0, f.mul(X, Y)))
+        # wave 1: Y^2, YZ, Z^2, XY
+        m = f.mul(jnp.stack([Y, Y, Z, X]), jnp.stack([Y, Z, Z, Y]))
+        t0 = m[0]
+        d1 = f.add(m[0], m[0])
+        d2 = f.add(d1, d1)
+        z3 = f.add(d2, d2)                       # 8 Y^2
+        # wave 2: b3 Z^2
+        t2 = f.mul(b3, m[2])
+        y3p = f.add(t0, t2)                      # Y^2 + 3bZ^2
+        t2_3 = f.add(f.add(t2, t2), t2)          # 9b Z^2
+        t0 = f.sub(t0, t2_3)                     # Y^2 - 9bZ^2
+        # wave 3: (3bZ^2)(8Y^2), (YZ)(8Y^2), (Y^2-9bZ^2)(Y^2+3bZ^2),
+        #         (Y^2-9bZ^2)(XY)
+        r = f.mul(jnp.stack([t2, m[1], t0, t0]),
+                  jnp.stack([z3, z3, y3p, m[3]]))
+        Y3 = f.add(r[0], r[2])
+        X3 = f.add(r[3], r[3])
+        Z3 = r[1]
         return self.pack(X3, Y3, Z3)
 
     # ------------------------------------------------------------- checks

@@ -214,9 +214,14 @@ class MSM:
         return jax.lax.fori_loop(0, nbits, body, cv.identity())
 
     # ------------------------------------------------------------- driver
-    def msm_chunk(self, points_aff_mont, scalars, c: int):
-        """MSM over one resident chunk. Returns per-window sums (W, 3, L)."""
-        nwin = -(-self.curve.spec.fr.bits // c)
+    def msm_chunk(self, points_aff_mont, scalars, c: int,
+                  scalar_bits: int | None = None):
+        """MSM over one resident chunk. Returns per-window sums (W, 3, L).
+
+        `scalar_bits` < fr.bits is the precomputed-multiples mode: slices
+        from msm/precompute.py carry only that many live bits, so fewer
+        windows are scanned (msm_api.rs:39-40 parity)."""
+        nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
         digits = self._digits(scalars, c, nwin)  # (W, N)
 
         def per_window(_, d):
@@ -239,14 +244,14 @@ class MSM:
 
         return jax.lax.fori_loop(0, W - 1, outer, wsums[W - 1])
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _msm_jit(self, points, scalars, c: int):
-        wsums = self.msm_chunk(points, scalars, c)
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _msm_jit(self, points, scalars, c: int, scalar_bits=None):
+        wsums = self.msm_chunk(points, scalars, c, scalar_bits)
         return self.fold_windows(wsums, c)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _msm_chunk_jit(self, points, scalars, c: int):
-        return self.msm_chunk(points, scalars, c)
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _msm_chunk_jit(self, points, scalars, c: int, scalar_bits=None):
+        return self.msm_chunk(points, scalars, c, scalar_bits)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _fold_jit(self, wsums, c: int):
@@ -256,24 +261,43 @@ class MSM:
     def _add_wsums(self, a, b):
         return self.curve.add(a, b)
 
-    def __call__(self, points_aff_mont, scalars, window_bits: int | None = None):
+    def __call__(self, points_aff_mont, scalars, window_bits: int | None = None,
+                 scalar_bits: int | None = None):
         """MSM of (N, 2, L) Montgomery affine points with (N, Ls) canonical
         scalar limbs. Returns one projective point (3, L), Montgomery form.
 
         Large inputs are processed in chunks of 2^chunk_log2 points with
         per-window partial sums combined before the final fold (mirrors the
         reference's 2048-element streaming chunks, msm_api.rs:156 — here the
-        chunk is whatever fits HBM comfortably).
+        chunk is whatever fits HBM comfortably).  `scalar_bits` is for
+        precompute-expanded inputs (see `msm_precomputed`).
         """
         n = points_aff_mont.shape[0]
         c = window_bits or min(self.config.window_bits, default_window_bits(n))
         chunk = 1 << self.config.chunk_log2
         if n <= chunk:
-            return self._msm_jit(points_aff_mont, scalars, c)
+            return self._msm_jit(points_aff_mont, scalars, c, scalar_bits)
 
         wsums = None
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            part = self._msm_chunk_jit(points_aff_mont[lo:hi], scalars[lo:hi], c)
+            part = self._msm_chunk_jit(
+                points_aff_mont[lo:hi], scalars[lo:hi], c, scalar_bits
+            )
             wsums = part if wsums is None else self._add_wsums(wsums, part)
         return self._fold_jit(wsums, c)
+
+    def msm_precomputed(self, expanded_points, scalars, factor: int,
+                        window_bits: int | None = None):
+        """MSM with precomputed multiples (the reference's 8x mode).
+
+        `expanded_points`: (factor*N, 2, L) from msm.precompute_points
+        (multiple-major); `scalars`: (N, Ls) canonical limbs.  Scans only
+        ceil(fr.bits/factor) bits' worth of windows."""
+        from .precompute import split_scalars
+
+        sliced, bits = split_scalars(
+            scalars, factor, self.curve.spec.fr.bits
+        )
+        return self(expanded_points, sliced, window_bits=window_bits,
+                    scalar_bits=bits)

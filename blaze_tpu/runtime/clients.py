@@ -139,6 +139,22 @@ class MSMClient(DriverPrimitive):
                     pts = decode_affine_points(input.points, spec)
                 else:
                     pts = np.asarray(input.points, dtype=np.uint32)
+                k = self.init.precompute_factor
+                if k > 1:
+                    # Wire order is point-major — each base followed by its
+                    # k-1 multiples (tests/msm/mod.rs:360-380); the engine
+                    # wants multiple-major slices (msm/precompute.py).
+                    n = params.nof_elements
+                    if pts.shape[0] != k * n:
+                        raise ValueError(
+                            f"precompute_factor={k}: want {k * n} points, "
+                            f"got {pts.shape[0]}"
+                        )
+                    pts = (
+                        pts.reshape(n, k, 2, -1)
+                        .transpose(1, 0, 2, 3)
+                        .reshape(k * n, 2, -1)
+                    )
                 dev = jax.device_put(jnp.asarray(pts), self.ctx.device)
                 dev = self.curve.fq.to_mont(dev)
                 if key is not None:
@@ -159,7 +175,13 @@ class MSMClient(DriverPrimitive):
             raise RuntimeError("set_data() first")
         with timed(self._timings, "start_s"):
             self._push_task()
-            self._pending = self.engine(self._points, self._scalars)
+            k = self.init.precompute_factor
+            if k > 1:
+                self._pending = self.engine.msm_precomputed(
+                    self._points, self._scalars, k
+                )
+            else:
+                self._pending = self.engine(self._points, self._scalars)
 
     def wait_result(self) -> None:
         """Block until done (RESULT_VALID poll analog, msm_api.rs:222-238)."""
