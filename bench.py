@@ -49,17 +49,23 @@ def main():
     points, scalars, _, _ = tiled_msm_instance(spec, n, seed=123)
     pts = curve.fq.to_mont(jnp.asarray(points))
     scal = jnp.asarray(scalars)
-    jax.block_until_ready((pts, scal))
+
+    def sync(x):
+        # block_until_ready can return before execution completes on
+        # tunneled platforms; a 1-element device_get is a true barrier.
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0:1]))
+
+    sync((pts, scal))
 
     # warmup / compile
     out = msm(pts, scal)
-    jax.block_until_ready(out)
+    sync(out)
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = msm(pts, scal)
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, time.perf_counter() - t0)
 
     pps = n / best

@@ -22,6 +22,8 @@ from typing import Callable, Sequence
 
 import jax
 
+from ..utils.misc import hard_sync
+
 
 @dataclasses.dataclass
 class SpeedOfLight:
@@ -88,14 +90,14 @@ def bench_kernel(
     """
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

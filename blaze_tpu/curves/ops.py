@@ -95,6 +95,9 @@ class Curve:
         """
         f = self.fq
         b3 = jnp.asarray(self._b3)
+        shape = jnp.broadcast_shapes(p.shape, q.shape)
+        p = jnp.broadcast_to(p, shape)
+        q = jnp.broadcast_to(q, shape)
         X1, Y1, Z1 = self.unpack(p)
         X2, Y2, Z2 = self.unpack(q)
 
@@ -134,6 +137,9 @@ class Curve:
         encoding cannot express the identity)."""
         f = self.fq
         b3 = jnp.asarray(self._b3)
+        shape = jnp.broadcast_shapes(p.shape[:-2], q_affine.shape[:-2])
+        p = jnp.broadcast_to(p, (*shape, 3, p.shape[-1]))
+        q_affine = jnp.broadcast_to(q_affine, (*shape, 2, q_affine.shape[-1]))
         X1, Y1, Z1 = self.unpack(p)
         X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
 

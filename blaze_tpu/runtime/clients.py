@@ -33,6 +33,7 @@ from ..msm import MSM, MSMConfig
 from ..ntt import make_ntt
 from .device import DeviceContext
 from .primitive import DriverPrimitive, ImageParams, timed
+from ..utils.misc import hard_sync
 
 
 def _resolve_curve(curve) -> Curve:
@@ -140,16 +141,16 @@ class MSMClient(DriverPrimitive):
                 else:
                     pts = np.asarray(input.points, dtype=np.uint32)
                 k = self.init.precompute_factor
+                if pts.shape[0] != k * params.nof_elements:
+                    raise ValueError(
+                        f"want {k * params.nof_elements} points "
+                        f"(precompute_factor={k}), got {pts.shape[0]}"
+                    )
                 if k > 1:
                     # Wire order is point-major — each base followed by its
                     # k-1 multiples (tests/msm/mod.rs:360-380); the engine
                     # wants multiple-major slices (msm/precompute.py).
                     n = params.nof_elements
-                    if pts.shape[0] != k * n:
-                        raise ValueError(
-                            f"precompute_factor={k}: want {k * n} points, "
-                            f"got {pts.shape[0]}"
-                        )
                     pts = (
                         pts.reshape(n, k, 2, -1)
                         .transpose(1, 0, 2, 3)
@@ -188,7 +189,7 @@ class MSMClient(DriverPrimitive):
         if self._pending is None:
             return
         with timed(self._timings, "wait_s"):
-            jax.block_until_ready(self._pending)
+            hard_sync(self._pending)
 
     def result(self, param=None) -> Optional[MSMResult]:
         if self._pending is None:
@@ -306,7 +307,7 @@ class NTTClient(DriverPrimitive):
         with timed(self._timings, "wait_s"):
             for r in self._results:
                 if r is not None:
-                    jax.block_until_ready(r)
+                    hard_sync(r)
 
     def result(self, buf_kernel: int = 0) -> Optional[bytes]:
         """Drain a buffer back to LE bytes (ntt_api.rs:110-125)."""

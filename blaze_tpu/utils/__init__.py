@@ -6,7 +6,7 @@ from .errors import (
     LoadFailed,
     NotReady,
 )
-from .misc import elide_payload, retry
+from .misc import elide_payload, hard_sync, retry
 
 __all__ = [
     "BlazeError",
@@ -16,5 +16,6 @@ __all__ = [
     "LoadFailed",
     "NotReady",
     "elide_payload",
+    "hard_sync",
     "retry",
 ]

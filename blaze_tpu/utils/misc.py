@@ -37,6 +37,24 @@ def retry(fn: Callable[[], T], times: int = 3, sleep_s: float = 1.0,
     raise last
 
 
+def hard_sync(x) -> None:
+    """True execution barrier for a pytree of device arrays.
+
+    `jax.block_until_ready` can return before the computation has actually
+    finished on tunneled/experimental platforms (observed on `axon`); a
+    1-element device_get is a real round trip and therefore a real barrier.
+    This is the RESULT_VALID-poll analog (msm_api.rs:222-238) every client's
+    wait_result goes through.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        jax.block_until_ready(leaves)
+        np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+
+
 def elide_payload(data, max_len: int = _ELIDE_AT) -> str:
     """Loggable repr of a payload, eliding bodies >= max_len bytes
     (the getter_log!/setter_log! behavior, utils.rs:9-37)."""
