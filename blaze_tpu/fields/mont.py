@@ -167,13 +167,26 @@ class Field:
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p. a, b: uint32[..., L].
 
-        Full-width REDC: T = a*b; m = (T mod R) * N' mod R with
-        N' = -p^-1 mod R; result = (T + m*p) / R < 2p, then one conditional
-        subtraction.  Three independent convolution phases + three short
-        carry chains — a structure XLA fuses well on both CPU and TPU (the
-        classic limb-serial CIOS interleaving of narrow carries with wide
-        updates compiles catastrophically slowly).
+        On TPU this dispatches to the fused Pallas kernel (fields/mxu.py):
+        VMEM-resident convolution + MXU REDC, ~20x the portable path.
+
+        Portable path: full-width REDC: T = a*b; m = (T mod R) * N' mod R
+        with N' = -p^-1 mod R; result = (T + m*p) / R < 2p, then one
+        conditional subtraction.  Three independent convolution phases +
+        three short carry chains — a structure XLA fuses well on both CPU
+        and TPU (the classic limb-serial CIOS interleaving of narrow
+        carries with wide updates compiles catastrophically slowly).
         """
+        from .mxu import mont_mul_mxu, mxu_available
+
+        if mxu_available():
+            out = mont_mul_mxu(self.spec, a, b)
+            if out is not None:
+                return out
+        return self._mul_portable(a, b)
+
+    def _mul_portable(self, a, b):
+        """XLA-only REDC path (CPU tests, non-TPU backends)."""
         L = self.nlimbs
         W = 2 * L + 1
         p = jnp.asarray(self._p)

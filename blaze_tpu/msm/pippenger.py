@@ -141,7 +141,10 @@ class MSM:
         cv = self.curve
         N = pts_affine.shape[0]
         L = pts_affine.shape[-1]
-        R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
+        # Lane count: wider than sqrt(N) so every scan step is a large
+        # batched add (full VPU tiles through the fused mul kernel); the
+        # O(R) lane-carry fix-up stays a small fraction of the O(N) scan.
+        R = self.config.scan_lanes or _ceil_pow2(4 * int(math.sqrt(N)))
         R = min(R, N)
         C = -(-N // R)
         pad = R * C - N
