@@ -1,0 +1,482 @@
+"""Fused Pallas EC kernels for TPU: whole group-law ops in VMEM.
+
+The XLA path issues each Montgomery mul of a curve add as its own Pallas
+call (fields/mxu.py) with HBM-materialized intermediates between them.
+These kernels fuse complete Renes-Costello-Batina group ops — all 9-12
+Montgomery muls plus the add/sub glue — into single kernels whose
+intermediates never leave VMEM, and fuse the MSM lane scan (sequential
+mixed-adds with a carried accumulator) into ONE pallas_call whose carry
+lives in VMEM scratch across grid steps.
+
+This is the TPU replacement for the reference's FPGA "EC adder" engines
+(`/root/reference/src/ingo_msm/msm_hw_code.rs:35-54` exposes only their
+perf counters; the logic itself is an opaque bitstream).
+
+Layout: "lanes-major" — a field element batch is (L, T): limbs on
+sublanes, batch on lanes; a projective point batch is (3L, T) with X, Y, Z
+stacked; an affine batch is (2L, T).  The MSM scan keeps its whole working
+set in this layout (see msm/pippenger.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.mxu import MXUMont, mxu_available
+from ..fields.spec import LIMB_BITS, LIMB_MASK
+from .spec import CurveSpec
+
+__all__ = ["ECKernels", "kernels_available"]
+
+
+def kernels_available() -> bool:
+    return mxu_available()
+
+
+class ECKernels:
+    """Per-curve fused kernels. Cached per CurveSpec."""
+
+    _CACHE: dict = {}
+
+    @classmethod
+    def for_curve(cls, spec: CurveSpec, tile: int = 512) -> "ECKernels":
+        key = (spec.name, tile)
+        inst = cls._CACHE.get(key)
+        if inst is None:
+            inst = cls(spec, tile)
+            cls._CACHE[key] = inst
+        return inst
+
+    def __init__(self, spec: CurveSpec, tile: int = 512):
+        self.spec = spec
+        self.tile = tile
+        eng = MXUMont.for_spec(spec.fq)
+        self.L = eng.L
+        self.W = eng.W
+        self._mnp_host = eng._m_np_host        # (2L, 3W) REDC byte matrix
+        self._mp_host = eng._m_p_host          # (4L, 2L) m*p byte matrix
+        self._p_ints = eng._p_ints
+        fq = spec.fq
+        b3 = (3 * spec.b) % fq.p
+        from ..fields.spec import int_to_limbs
+
+        self._b3_ints = [int(v) for v in int_to_limbs((b3 * fq.r) % fq.p, self.L)]
+        self._one_ints = [int(v) for v in np.asarray(fq.one_mont_limbs)]
+
+    # ------------------------------------------------- in-kernel field ops
+    #
+    # Carry/borrow propagation is Kogge-Stone parallel prefix: serial
+    # per-limb ripple chains would be L(=24 for BLS12-381) dependent
+    # (1, T) row ops — 1/8 sublane utilization and latency-bound — while
+    # the prefix form is ~2 folds + log2(L) full-height steps.
+
+    @staticmethod
+    def _shift_down(x, d=1):
+        """Rows j >= d get x[j-d]; top d rows zero.  Full-height op."""
+        return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+
+    def _ks_carry(self, cols, carry_in=None):
+        """Exact carry normalization of (K, T) u32 16-bit-stride columns.
+
+        Any u32 input values.  Returns (limbs < 2^16, carry_out (1, T)).
+        Two value folds bound rows to <= 2^16, then a Kogge-Stone
+        generate/propagate prefix resolves the remaining 0/1 ripple.
+        """
+        K, T = cols.shape
+        over = jnp.zeros((1, T), jnp.uint32)
+
+        v = cols
+        if carry_in is not None:
+            v = v + jnp.pad(carry_in, ((0, K - 1), (0, 0)))
+        for _ in range(2):  # after two folds every row is <= 2^16
+            hi = v >> LIMB_BITS
+            over = over + hi[K - 1 : K]
+            v = (v & LIMB_MASK) + self._shift_down(hi)
+
+        g = v >> LIMB_BITS                      # 0/1 generate
+        p = jnp.where((v & LIMB_MASK) == LIMB_MASK, jnp.uint32(1),
+                      jnp.uint32(0))            # propagate
+        d = 1
+        while d < K:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d *= 2
+        over = over + g[K - 1 : K]
+        out = (v + self._shift_down(g)) & LIMB_MASK
+        return out, over
+
+    def _ks_borrow_sub(self, a, b):
+        """a - b on (L, T) 16-bit limb columns; returns (diff, borrow_out).
+
+        diff is the 2^(16L)-complement result; borrow_out (1, T) is 0/1."""
+        L = self.L
+        v = a + jnp.uint32(LIMB_MASK + 1) - b    # in [1, 2^17)
+        g = (v >> LIMB_BITS) ^ jnp.uint32(1)     # borrow generated: v < 2^16
+        p = jnp.where((v & LIMB_MASK) == 0, jnp.uint32(1), jnp.uint32(0))
+        d = 1
+        while d < L:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d *= 2
+        bor_in = self._shift_down(g)
+        out = (v - bor_in) & LIMB_MASK
+        return out, g[L - 1 : L]
+
+    def _cond_sub_p(self, limbs, top):
+        """limbs - p when limbs+top*2^(16L) >= p (single conditional)."""
+        T = limbs.shape[1]
+        pcol = self._const_col(self._p_ints, T)
+        sub, borrow = self._ks_borrow_sub(limbs, pcol)
+        ge = (top > 0) | (borrow == 0)
+        return jnp.where(ge, sub, limbs)
+
+    def _mont_mul(self, a, b, mnp, mp):
+        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
+        same math as fields/mxu.py MXUMont._kernel)."""
+        L, W = self.L, self.W
+        T = a.shape[1]
+        acc = jnp.zeros((W, T), jnp.uint32)
+        for i in range(L):
+            prod = a * b[i : i + 1]
+            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
+            acc = acc + jnp.pad(prod >> LIMB_BITS,
+                                ((i + 1, W - i - 1 - L), (0, 0)))
+        t8 = jnp.concatenate(
+            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
+        ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
+        mc = m_cols.astype(jnp.int32).astype(jnp.uint32).reshape(L, 2, T)
+        m16 = mc[:, 0] + (mc[:, 1] << 8)
+        m, _ = self._ks_carry(m16)
+        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
+        qc = q_cols.astype(jnp.int32).astype(jnp.uint32).reshape(2 * L, 2, T)
+        q16 = qc[:, 0] + (qc[:, 1] << 8)
+        u = acc + jnp.pad(q16, ((0, 1), (0, 0)))
+        _, c1 = self._ks_carry(u[:L])
+        limbs, top = self._ks_carry(u[L : 2 * L], carry_in=c1)
+        top = top + u[2 * L : 2 * L + 1]
+        return self._cond_sub_p(limbs, top)
+
+    def _add_f(self, a, b):
+        limbs, top = self._ks_carry(a + b)
+        return self._cond_sub_p(limbs, top)
+
+    def _sub_f(self, a, b):
+        """a - b mod p on (L, T) 16-bit limb batches."""
+        T = a.shape[1]
+        d, borrow = self._ks_borrow_sub(a, b)
+        # if borrowed, add p back (no re-borrow possible)
+        pcol = self._const_col(self._p_ints, T)
+        fixed, _ = self._ks_carry(d + pcol)
+        return jnp.where(borrow > 0, fixed, d)
+
+    def _const_col(self, ints, T):
+        """(L, T) column whose rows are the given per-limb scalars."""
+        return jnp.concatenate(
+            [jnp.full((1, T), jnp.uint32(v)) for v in ints], axis=0
+        )
+
+    def _b3_col(self, T):
+        return self._const_col(self._b3_ints, T)
+
+    # ----------------------------------------------------- group formulas
+    def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, mnp, mp):
+        """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls."""
+        mm = lambda a, b: self._mont_mul(a, b, mnp, mp)
+        add, sub = self._add_f, self._sub_f
+        b3 = self._b3_col(X1.shape[1])
+
+        m0 = mm(X1, X2)
+        m1 = mm(Y1, Y2)
+        m2 = mm(add(X1, Y1), add(X2, Y2))
+        m3 = mm(Y2, Z1)
+        m4 = mm(X2, Z1)
+        t3 = sub(m2, add(m0, m1))            # X1Y2 + X2Y1
+        t4 = add(m3, Y1)                     # Y1 + Y2Z1
+        u2 = add(m4, X1)                     # X1 + X2Z1
+        t0 = add(add(m0, m0), m0)            # 3 X1X2
+        w0 = mm(b3, Z1)
+        w1 = mm(b3, u2)
+        z3 = add(m1, w0)
+        t1 = sub(m1, w0)
+        r0 = mm(t3, t1)
+        r1 = mm(t4, w1)
+        r2 = mm(t1, z3)
+        r3 = mm(t0, w1)
+        r4 = mm(z3, t4)
+        r5 = mm(t0, t3)
+        X3 = sub(r0, r1)
+        Y3 = add(r2, r3)
+        Z3 = add(r4, r5)
+        return X3, Y3, Z3
+
+    def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, mnp, mp):
+        """RCB 2016 alg 7 (a=0). 12 muls; complete (handles identities)."""
+        mm = lambda a, b: self._mont_mul(a, b, mnp, mp)
+        add, sub = self._add_f, self._sub_f
+        b3 = self._b3_col(X1.shape[1])
+
+        m0 = mm(X1, X2)
+        m1 = mm(Y1, Y2)
+        m2 = mm(Z1, Z2)
+        m3 = mm(add(X1, Y1), add(X2, Y2))
+        m4 = mm(add(Y1, Z1), add(Y2, Z2))
+        m5 = mm(add(X1, Z1), add(X2, Z2))
+        t3 = sub(m3, add(m0, m1))            # X1Y2 + X2Y1
+        t4 = sub(m4, add(m1, m2))            # Y1Z2 + Y2Z1
+        t5 = sub(m5, add(m0, m2))            # X1Z2 + X2Z1
+        t0 = add(add(m0, m0), m0)            # 3 X1X2
+        w0 = mm(b3, m2)                      # 3b Z1Z2
+        w1 = mm(b3, t5)
+        z3 = add(m1, w0)
+        t1 = sub(m1, w0)
+        r0 = mm(t3, t1)
+        r1 = mm(t4, w1)
+        r2 = mm(t1, z3)
+        r3 = mm(t0, w1)
+        r4 = mm(z3, t4)
+        r5 = mm(t0, t3)
+        X3 = sub(r0, r1)
+        Y3 = add(r2, r3)
+        Z3 = add(r4, r5)
+        return X3, Y3, Z3
+
+    # ------------------------------------------------------- fused scan
+    @functools.cached_property
+    def _jit_cache(self):
+        # jitted pallas callables keyed by (kind, static shape tuple).
+        # pallas_call invoked eagerly with a fresh kernel closure would
+        # re-lower the Mosaic kernel EVERY call (~1 s); caching a jitted
+        # wrapper makes compilation a per-shape one-time cost.
+        return {}
+
+    def _scan_fn(self, C: int, Bp: int):
+        key = ("scan", C, Bp)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, W, T = self.L, self.W, self.tile
+
+        def kernel(mnp_ref, mp_ref, row_ref, emit_ref, tot_ref, carry_scr):
+            c = pl.program_id(1)
+
+            @pl.when(c == 0)
+            def _init():
+                carry_scr[:L] = jnp.zeros((L, T), jnp.uint32)
+                carry_scr[L : 2 * L] = self._const_col(self._one_ints, T)
+                carry_scr[2 * L :] = jnp.zeros((L, T), jnp.uint32)
+
+            cur = carry_scr[:]
+            row = row_ref[0].astype(jnp.uint32)
+            X3, Y3, Z3 = self._add_mixed_body(
+                cur[:L], cur[L : 2 * L], cur[2 * L :],
+                row[:L], row[L:], mnp_ref[:], mp_ref[:],
+            )
+            nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
+            carry_scr[:] = nxt
+            emit_ref[0] = nxt.astype(jnp.uint16)
+
+            @pl.when(c == C - 1)
+            def _fin():
+                tot_ref[:] = nxt
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Bp // T, C),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * L, T), lambda i, c: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3 * L, T), lambda i, c: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, T), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, 3 * L, Bp), jnp.uint16),
+                jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
+            ],
+            scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def scan_mixed(self, rows):
+        """Sequential inclusive EC prefix scan of sorted affine points.
+
+        rows: (C, 2L, B) uint16/uint32 — C steps of B-lane affine batches.
+        Returns (emitted, lane_tot): emitted (C, 3L, B) uint16 inclusive
+        prefixes; lane_tot (3L, B) uint32 final carries.
+
+        One pallas_call: grid (B/tile, C); the per-lane running sum lives
+        in VMEM scratch across the C inner grid steps (revisited blocks)."""
+        C, twoL, B = rows.shape
+        L = self.L
+        T = self.tile
+        assert twoL == 2 * L
+        npad = -B % T
+        if npad:
+            rows = jnp.pad(rows, ((0, 0), (0, 0), (0, npad)))
+        Bp = B + npad
+        rows = rows.astype(jnp.uint16)
+
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        emitted, tot = self._scan_fn(C, Bp)(mnp, mp, rows)
+        if npad:
+            emitted = emitted[..., :B]
+            tot = tot[..., :B]
+        return emitted, tot
+
+    # ---------------------------------------------------- fused reduction
+    def _reduce_fn(self, C: int, Bp: int):
+        key = ("reduce", C, Bp)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, W, T = self.L, self.W, self.tile
+
+        def kernel(mnp_ref, mp_ref, row_ref, tot_ref, carry_scr):
+            c = pl.program_id(1)
+
+            @pl.when(c == 0)
+            def _init():
+                carry_scr[:L] = jnp.zeros((L, T), jnp.uint32)
+                carry_scr[L : 2 * L] = self._const_col(self._one_ints, T)
+                carry_scr[2 * L :] = jnp.zeros((L, T), jnp.uint32)
+
+            cur = carry_scr[:]
+            row = row_ref[0].astype(jnp.uint32)
+            X3, Y3, Z3 = self._add_full_body(
+                cur[:L], cur[L : 2 * L], cur[2 * L :],
+                row[:L], row[L : 2 * L], row[2 * L :],
+                mnp_ref[:], mp_ref[:],
+            )
+            nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
+            carry_scr[:] = nxt
+
+            @pl.when(c == C - 1)
+            def _fin():
+                tot_ref[:] = nxt
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Bp // T, C),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * L, T), lambda i, c: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * L, T), lambda i, c: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def reduce_cols(self, rows):
+        """Lane-wise EC sum over axis 0: (C, 3L, B) u16/u32 -> (3L, B) u32.
+
+        One pallas_call; per-lane accumulator lives in VMEM scratch across
+        the C sequential grid steps.  Projective-complete adds, so any row
+        may hold identities (e.g. padding)."""
+        C, threeL, B = rows.shape
+        L = self.L
+        T = self.tile
+        assert threeL == 3 * L
+        npad = -B % T
+        if npad:
+            # pad with identity columns (0, 1, 0)
+            ident = np.zeros((3 * L, npad), np.uint16)
+            ident[L : 2 * L] = np.asarray(self._one_ints, np.uint16)[:, None]
+            rows = jnp.concatenate(
+                [rows.astype(jnp.uint16),
+                 jnp.broadcast_to(jnp.asarray(ident), (C, 3 * L, npad))],
+                axis=-1,
+            )
+        Bp = B + npad
+        rows = rows.astype(jnp.uint16)
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        tot = self._reduce_fn(C, Bp)(mnp, mp, rows)
+        return tot[..., :B] if npad else tot
+
+    # --------------------------------------------------- batched full add
+    def _add_fn(self, Bp: int):
+        key = ("add", Bp)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, W, T = self.L, self.W, self.tile
+
+        def kernel(mnp_ref, mp_ref, p_ref, q_ref, o_ref):
+            a = p_ref[:]
+            b = q_ref[:]
+            X3, Y3, Z3 = self._add_full_body(
+                a[:L], a[L : 2 * L], a[2 * L :],
+                b[:L], b[L : 2 * L], b[2 * L :],
+                mnp_ref[:], mp_ref[:],
+            )
+            o_ref[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Bp // T,),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * L, T), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def add(self, p, q):
+        """Batched complete projective add in lanes-major layout.
+
+        p, q: (3L, B) uint32 -> (3L, B)."""
+        T = self.tile
+        B = p.shape[-1]
+        npad = -B % T
+        if npad:
+            p = jnp.pad(p, ((0, 0), (0, npad)))
+            q = jnp.pad(q, ((0, 0), (0, npad)))
+        Bp = B + npad
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        out = self._add_fn(Bp)(mnp, mp, p, q)
+        return out[..., :B] if npad else out

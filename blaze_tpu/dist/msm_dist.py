@@ -51,11 +51,15 @@ class DistributedMSM:
             total = self._reduce_wsums(gathered)
             return self.engine.fold_windows(total, c)            # (3, L)
 
+        # check_vma=False: the result IS replicated (every device reduces
+        # the same all_gathered wsums), but the EC tree-reduction is opaque
+        # to JAX's varying-axis inference, which would reject out_specs=P().
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis)),
             out_specs=P(),  # replicated result
+            check_vma=False,
         )
         return fn(points, scalars)
 

@@ -46,20 +46,18 @@ class DistributedNTT:
         self.plan1 = NTTPlan(spec, self.logn1)
         self.plan2 = NTTPlan(spec, self.logn2)
         w = spec.root_of_unity(logn)
-        self._tw = self._twiddle_matrix(w)          # (n1, n2, L) numpy
+        self._tw = self._twiddle_matrix(w)          # (n1, n2, L) u16 device
         self._tw_inv = self._twiddle_matrix(pow(w, -1, spec.p))
 
     def _twiddle_matrix(self, w):
+        """W^(i*j), Montgomery, uint16-compressed, generated on device
+        (log-doubling batched muls — see fields.mont.Field.power_matrix)."""
         p, L = self.spec.p, self.spec.nlimbs
-        rows, wi = [], 1
-        for i in range(self.n1):
-            row, cur = [], 1
-            for j in range(self.n2):
-                row.append((cur * self.spec.r) % p)
-                cur = cur * wi % p
-            rows.append([int_to_limbs(v, L) for v in row])
-            wi = wi * w % p
-        return np.asarray(rows, dtype=np.uint32)
+        mont = jnp.asarray(int_to_limbs((w * self.spec.r) % p, L))
+        bases = self.field.powers(mont, self.n1)
+        from ..fields.mont import Field as _F
+
+        return _F.compress(self.field.power_matrix(bases, self.n2))
 
     # ---------------------------------------------------------------- fwd
     def _local_fwd(self, a, tw):
@@ -84,7 +82,7 @@ class DistributedNTT:
     def _run(self, x, inverse: bool):
         f = self.field
         n1, n2, L = self.n1, self.n2, self.spec.nlimbs
-        tw = jnp.asarray(self._tw_inv if inverse else self._tw)
+        tw = (self._tw_inv if inverse else self._tw).astype(jnp.uint32)
 
         def fwd_local(a, twl):
             return self._local_fwd(a, twl)

@@ -240,6 +240,49 @@ class Field:
         """Batched inverse via Fermat: a^(p-2). inv(0) = 0."""
         return self.pow(a, self.spec.p - 2)
 
+    # ------------------------------------------------------------ power sets
+    def powers(self, base_mont, n: int):
+        """[b^0, b^1, ..., b^(n-1)] as (n, L) Montgomery limbs.
+
+        Log-doubling: log2(n) batched muls (device-side) — the twiddle
+        generator for NTT plans (the reference precomputes nothing: its
+        twiddles live inside the opaque FPGA kernel).
+        """
+        out = self.one((1,))
+        if n <= 1:
+            return out[:n]
+        mulj = self.jit_op("mul")
+        cur = jnp.asarray(base_mont)[None]          # b^(2^k) walker
+        while out.shape[0] < n:
+            k = out.shape[0]
+            take = min(k, n - k)
+            nxt = mulj(out[:take], cur)             # b^k .. b^(k+take-1)
+            out = jnp.concatenate([out, nxt], axis=0)
+            if out.shape[0] < n:
+                cur = mulj(cur, cur)
+        return out
+
+    def power_matrix(self, bases_mont, m: int):
+        """(n, L) bases -> (n, m, L) matrix M[i, j] = bases[i]^j.
+
+        Log-doubling along j with the whole base column batched: log2(m)
+        muls, n*m total field-mul work, all on device.
+        """
+        n = bases_mont.shape[0]
+        out = self.one((n, 1))
+        if m <= 1:
+            return out[:, :m]
+        mulj = self.jit_op("mul")
+        cur = bases_mont[:, None, :]                # bases^(2^k) walker
+        while out.shape[1] < m:
+            k = out.shape[1]
+            take = min(k, m - k)
+            nxt = mulj(out[:, :take], cur)
+            out = jnp.concatenate([out, nxt], axis=1)
+            if out.shape[1] < m:
+                cur = mulj(cur, cur)
+        return out
+
     # ------------------------------------------------------- host transfers
     def from_int(self, x, batch_shape=(), mont=True):
         """Python int(s) -> device limbs (Montgomery by default)."""

@@ -41,16 +41,46 @@ def _ceil_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def _vary_like(x, ref):
+    """Tag x as varying over ref's shard_map-manual axes (vma).
+
+    lax.scan/fori_loop require carry init and body output to agree on
+    varying axes; identity-point inits built from constants are unvarying
+    while the scanned points are varying inside shard_map bodies.  No-op
+    outside shard_map."""
+    try:
+        vma = jax.typeof(ref).vma
+    except Exception:
+        return x
+    if not vma:
+        return x
+    return jax.lax.pcast(x, tuple(vma), to="varying")
+
+
 @dataclasses.dataclass(frozen=True)
 class MSMConfig:
     """Static planning knobs (hashable; safe as a jit static argument)."""
 
     window_bits: int = 16          # c; buckets per window B = 2^c
-    chunk_log2: int = 20           # points per device pass (memory bound)
+    chunk_log2: int = 19           # points per device pass (memory bound)
     scan_lanes: int = 0            # 0 = auto (~sqrt of padded chunk)
+    group_windows: int = 6         # windows co-scanned per pass (memory bound)
+    fused: str = "auto"            # fused Pallas EC kernels: auto/on/off
 
     def windows(self, scalar_bits: int) -> int:
         return -(-scalar_bits // self.window_bits)
+
+    def fused_active(self) -> bool:
+        if self.fused == "off":
+            return False
+        from ..curves.kernels import kernels_available
+
+        if self.fused == "on":
+            return True
+        return (
+            kernels_available()
+            and jax.default_backend() == "tpu"
+        )
 
 
 def default_window_bits(n: int) -> int:
@@ -88,13 +118,16 @@ class MSM:
 
     # ------------------------------------------------- sequential EC scan
     def _proj_scan(self, pts):
-        """Inclusive EC prefix sum over axis 0 of (M, 3, L) points.
+        """Inclusive EC prefix sum over axis 0 of (M, ..., 3, L) points.
 
-        Two-level lane decomposition; recursion keeps the graph at O(1)
-        group-op instances per level (~3 levels total for M <= 2^24).
+        Middle axes are batch.  Two-level lane decomposition; recursion
+        keeps the graph at O(1) group-op instances per level (~3 levels
+        total for M <= 2^24).
         """
         cv = self.curve
         M = pts.shape[0]
+        rest = pts.shape[1:]
+        ident = _vary_like(jnp.broadcast_to(cv.identity(), rest), pts)
         if M == 1:
             return pts
         if M <= 128:
@@ -102,108 +135,312 @@ class MSM:
                 nxt = cv.add(carry, p)
                 return nxt, nxt
 
-            _, out = jax.lax.scan(body, cv.identity(), pts)
+            _, out = jax.lax.scan(body, ident, pts)
             return out
 
         R = _ceil_pow2(int(math.sqrt(M)))
         C = -(-M // R)
         pad = R * C - M
         if pad:
-            padp = jnp.broadcast_to(cv.identity(), (pad, 3, pts.shape[-1]))
-            pts = jnp.concatenate([pts, padp], axis=0)
-        grid = pts.reshape(R, C, 3, -1).transpose(1, 0, 2, 3)  # (C, R, 3, L)
+            pads = jnp.broadcast_to(cv.identity(), (pad, *rest))
+            pts = jnp.concatenate([pts, pads], axis=0)
+        grid = jnp.moveaxis(pts.reshape(R, C, *rest), 1, 0)  # (C, R, *rest)
 
         def body(carry, row):
             nxt = cv.add(carry, row)
             return nxt, nxt
 
         lane_tot, emitted = jax.lax.scan(
-            body, jnp.broadcast_to(cv.identity(), (R, 3, grid.shape[-1])), grid
+            body, _vary_like(jnp.broadcast_to(cv.identity(), (R, *rest)), pts),
+            grid,
         )
         carries = self._proj_scan(lane_tot)  # inclusive over lanes
-        excl = jnp.concatenate(
-            [jnp.broadcast_to(cv.identity(), (1, 3, grid.shape[-1])), carries[:-1]],
-            axis=0,
-        )
-        fixed = cv.add(emitted, excl[None, :, :, :])  # (C, R, 3, L)
-        out = fixed.transpose(1, 0, 2, 3).reshape(R * C, 3, -1)
+        excl = jnp.concatenate([ident[None], carries[:-1]], axis=0)
+        fixed = cv.add(emitted, excl[None])  # (C, R, *rest)
+        out = jnp.moveaxis(fixed, 0, 1).reshape(R * C, *rest)
         return out[:M]
 
-    def _lane_scan_with_boundaries(self, pts_affine, bounds):
-        """Prefix-scan values T[e] for boundary indices only.
+    def _tree_reduce(self, pts):
+        """EC sum over axis 0 of (M, ..., 3, L); ~M total group adds.
 
-        pts_affine: (Npad, 2, L) sorted affine points (mixed adds in the
-        scan body).  bounds: (B,) int32 indices into the sorted order; -1
-        means "no element" -> identity.  Returns (B, 3, L) projective T[e].
-        Avoids the full O(N) carry fix-up: only boundary positions get the
-        lane-carry correction.
+        Shape-adaptive: big inputs use log-depth pairwise halving (few
+        sequential steps; ~log2 M distinct add shapes — fine where runtime
+        dominates), small inputs use a two-level scan reduction (2-3 op
+        instances total — XLA:CPU compile of each distinct batched group-op
+        costs seconds, which dominates small/test workloads).
         """
         cv = self.curve
-        N = pts_affine.shape[0]
+        while pts.shape[0] > 512:
+            m = pts.shape[0]
+            half = m // 2
+            merged = cv.add(pts[:half], pts[half : 2 * half])
+            if m % 2:
+                merged = jnp.concatenate([merged, pts[2 * half :]], axis=0)
+            pts = merged
+
+        M = pts.shape[0]
+        rest = pts.shape[1:]
+        if M == 1:
+            return pts[0]
+        ident = _vary_like(jnp.broadcast_to(cv.identity(), rest), pts)
+        if M <= 32:
+            def body(carry, p):
+                return cv.add(carry, p), None
+
+            tot, _ = jax.lax.scan(body, ident, pts)
+            return tot
+        R = _ceil_pow2(int(math.sqrt(M)))
+        C = -(-M // R)
+        pad = R * C - M
+        if pad:
+            pads = jnp.broadcast_to(cv.identity(), (pad, *rest))
+            pts = jnp.concatenate([pts, pads], axis=0)
+        grid = jnp.moveaxis(pts.reshape(R, C, *rest), 1, 0)  # (C, R, *rest)
+
+        def body(carry, row):
+            return cv.add(carry, row), None
+
+        lane_tot, _ = jax.lax.scan(
+            body, _vary_like(jnp.broadcast_to(cv.identity(), (R, *rest)), pts),
+            grid,
+        )
+        return self._tree_reduce(lane_tot)
+
+    # ------------------------------------------------ grouped window sums
+    def _scan_phase(self, pts_affine, digits, c: int):
+        """Sort + batched lane scan + boundary gather for G windows.
+
+        pts_affine: (N, 2, L) affine Montgomery; digits: (G, N) c-bit.
+        Returns (carry_g, local, bounds): the two projective halves of each
+        bucket-boundary prefix value T[e_j] = carry + local, (G, B, 3, L)
+        each, plus the raw (G, B) boundary indices (-1 = empty).
+
+        All G windows ride one lax.scan: per step the mixed-add batch is
+        (G, R) — G x wider VPU waves and G x fewer sequential dispatches
+        than scanning windows one at a time.  Scan emissions are stored as
+        uint16 (limbs are < 2^16) to halve the O(N*G) HBM footprint.
+        """
+        cv = self.curve
+        G, N = digits.shape
+        B = 1 << c
         L = pts_affine.shape[-1]
+
+        order = jnp.argsort(digits, axis=-1)                    # (G, N)
+        sorted_d = jnp.take_along_axis(digits, order, axis=-1)
+        sorted_p = jnp.take(pts_affine, order, axis=0)          # (G, N, 2, L)
+
+        # e_j = last sorted index with digit <= j  (=-1 if none)
+        targets = jnp.arange(1, B + 1, dtype=digits.dtype)
+        bounds = (
+            jax.vmap(lambda d: jnp.searchsorted(d, targets))(sorted_d)
+            .astype(jnp.int32)
+            - 1
+        )                                                       # (G, B)
+
         # Lane count: wider than sqrt(N) so every scan step is a large
-        # batched add (full VPU tiles through the fused mul kernel); the
-        # O(R) lane-carry fix-up stays a small fraction of the O(N) scan.
+        # batched add; the O(R) lane-carry fix-up stays a small fraction
+        # of the O(N) scan.
         R = self.config.scan_lanes or _ceil_pow2(4 * int(math.sqrt(N)))
         R = min(R, N)
         C = -(-N // R)
         pad = R * C - N
         if pad:
-            # affine padding: repeat last point; digits of pads sort past
-            # every real bucket so no boundary index ever reaches them
-            padp = jnp.broadcast_to(pts_affine[-1:], (pad, 2, L))
-            pts_affine = jnp.concatenate([pts_affine, padp], axis=0)
-        grid = pts_affine.reshape(R, C, 2, L).transpose(1, 0, 2, 3)  # (C,R,2,L)
+            # affine padding: repeat the last point; pads sort past every
+            # real bucket so no boundary index ever reaches them
+            last = jnp.broadcast_to(sorted_p[:, -1:], (G, pad, 2, L))
+            sorted_p = jnp.concatenate([sorted_p, last], axis=1)
+        grid = jnp.moveaxis(sorted_p.reshape(G, R, C, 2, L), 2, 0)  # (C,G,R,2,L)
+
+        ident = _vary_like(cv.identity(), pts_affine)
 
         def body(carry, row):
             nxt = cv.add_mixed(carry, row)
-            return nxt, nxt
+            return nxt, nxt.astype(jnp.uint16)
 
         lane_tot, emitted = jax.lax.scan(
-            body, jnp.broadcast_to(cv.identity(), (R, 3, L)), grid
-        )
-        # emitted[(t, r)] = local prefix within lane r up to column t
-        lane_prefix = self._proj_scan(lane_tot)  # (R, 3, L) inclusive
+            body, jnp.broadcast_to(ident, (G, R, 3, L)), grid
+        )                                      # emitted: (C, G, R, 3, L) u16
+
+        # lane-carry fix-up, batched over G
+        lane_prefix = self._proj_scan(jnp.moveaxis(lane_tot, 1, 0))  # (R,G,3,L)
         excl = jnp.concatenate(
-            [jnp.broadcast_to(cv.identity(), (1, 3, L)), lane_prefix[:-1]], axis=0
+            [jnp.broadcast_to(ident, (1, G, 3, L)), lane_prefix[:-1]], axis=0
         )
 
-        safe = jnp.maximum(bounds, 0)
+        safe = jnp.maximum(bounds, 0)         # (G, B)
         lane_idx = safe // C
         col_idx = safe % C
-        local = emitted[col_idx, lane_idx]        # (B, 3, L)
-        carry = excl[lane_idx]                    # (B, 3, L)
-        t = cv.add(carry, local)
-        ident = jnp.broadcast_to(cv.identity(), t.shape)
-        return cv.select(bounds >= 0, t, ident)
+        gidx = jnp.arange(G, dtype=jnp.int32)[:, None]
+        local = emitted[col_idx, gidx, lane_idx].astype(jnp.uint32)  # (G,B,3,L)
+        carry_g = excl[lane_idx, gidx]                               # (G,B,3,L)
 
-    # --------------------------------------------------------- one window
-    def _window_sum(self, pts_affine, digits, c: int):
-        """sum_j j * B_j for one window. pts (N,2,L) affine, digits (N,)."""
+        valid = bounds >= 0
+        identb = jnp.broadcast_to(ident, local.shape)
+        local = cv.select(valid, local, identb)
+        carry_g = cv.select(valid, carry_g, identb)
+        return carry_g, local, bounds
+
+    def _bucket_phase(self, carry_g, local, c: int):
+        """Abel summation over boundary prefix values -> (G, 3, L).
+
+        sum_j j*B_j = (B-1) * T[e_{B-1}] - sum_{j<B-1} T[e_j];
+        T[e_j] = carry + local, so the sum over j is one tree reduction
+        over the 2(B-1) gathered halves, and (B-1)*T = 2^c*T - T is c
+        doublings plus one subtract (no double-and-add select chain).
+        """
         cv = self.curve
         B = 1 << c
-        order = jnp.argsort(digits)
-        sorted_d = jnp.take(digits, order)
-        sorted_p = jnp.take(pts_affine, order, axis=0)
+        total = cv.add(carry_g[:, B - 1], local[:, B - 1])       # (G, 3, L)
 
-        # e_j = last index with digit <= j  (=-1 if none)
+        def dbl(_, a):
+            return cv.dbl(a)
+
+        shifted = jax.lax.fori_loop(0, c, dbl, total)            # 2^c * T
+        acc = cv.add(shifted, cv.neg(total))                     # (B-1) * T
+        if B > 1:
+            rest = jnp.concatenate(
+                [carry_g[:, : B - 1], local[:, : B - 1]], axis=1
+            )                                                    # (G,2B-2,3,L)
+            partial = self._tree_reduce(jnp.moveaxis(rest, 1, 0))
+            acc = cv.add(acc, cv.neg(partial))
+        return acc
+
+    def _window_sums_group(self, pts_affine, digits, c: int):
+        """sum_j j*B_j for G windows at once -> (G, 3, L)."""
+        carry_g, local, _ = self._scan_phase(pts_affine, digits, c)
+        return self._bucket_phase(carry_g, local, c)
+
+    # ------------------------------------------- fused-kernel (TPU) path
+    #
+    # Same algorithm as _scan_phase/_bucket_phase, but the two O(N)/O(B)
+    # EC-add streams run inside single Pallas kernels (curves/kernels.py):
+    # the lane scan keeps its running sum in VMEM scratch across grid
+    # steps, and bucket-boundary reduction reuses the same shape as a
+    # carry-scratch column reduction.  Layouts are lanes-major (3L, B) —
+    # limbs on sublanes, batch on lanes — end to end.
+
+    @staticmethod
+    def _pm2lm(p):
+        """Points-major (..., M, k, L) -> lanes-major (..., k*L, M)."""
+        *lead, M, k, L = p.shape
+        return jnp.moveaxis(p, -3, -1).reshape(*lead, k * L, M)
+
+    @staticmethod
+    def _lm2pm(x, k: int):
+        """Lanes-major (..., k*L, M) -> points-major (..., M, k, L)."""
+        *lead, kL, M = x.shape
+        L = kL // k
+        return jnp.moveaxis(x.reshape(*lead, k, L, M), -1, -3)
+
+    def _fused_reduce_rows(self, pts, kern):
+        """EC sum over axis -3 of (..., M, 3, L) -> (..., 3, L).
+
+        Rearranges into reduce_cols lanes (identity-padded), one Pallas
+        reduction to R2 lane totals, then a small XLA-path tree fold."""
+        cv = self.curve
+        *lead, M, _, L = pts.shape
+        G = int(np.prod(lead)) if lead else 1
+        flat = pts.reshape(G, M, 3, L)
+        R2 = _ceil_pow2(int(math.sqrt(max(M, 4))))
+        C2 = -(-M // R2)
+        pad = R2 * C2 - M
+        if pad:
+            ident = jnp.broadcast_to(cv.identity(), (G, pad, 3, L))
+            flat = jnp.concatenate([flat, ident], axis=1)
+        # (G, R2, C2, 3L) -> rows (C2, 3L, G*R2)
+        r4 = flat.reshape(G, R2, C2, 3 * L)
+        rows = jnp.moveaxis(jnp.moveaxis(r4, 2, 0), -1, 1)
+        rows = rows.reshape(C2, 3 * L, G * R2)
+        tot = kern.reduce_cols(rows.astype(jnp.uint16))    # (3L, G*R2)
+        # tot (3L, G*R2) -> (G, R2, 3, L)
+        lanes = jnp.moveaxis(tot.reshape(3, L, G, R2), (0, 1), (2, 3))
+        out = self._tree_reduce(jnp.moveaxis(lanes, 1, 0))  # (G, 3, L)
+        return out.reshape(*lead, 3, L) if lead else out[0]
+
+    def _fused_chunk(self, pts, scalars, c: int, scalar_bits=None):
+        """Per-window sums (nwin, 3, L) for one chunk, fused-kernel path.
+
+        pts: (N, 2, L) u32 affine Montgomery; scalars (N, Ls) u16-limbed.
+        """
+        from ..curves.kernels import ECKernels
+
+        cv = self.curve
+        kern = ECKernels.for_curve(cv.spec)
+        L = cv.nlimbs
+        N = pts.shape[0]
+        B = 1 << c
+        nwin = -(-(scalar_bits or cv.spec.fr.bits) // c)
+        digits = self._digits(scalars, c, nwin)            # (G, N)
+        G = nwin
+
+        order = jnp.argsort(digits, axis=-1)               # (G, N)
+        sorted_d = jnp.take_along_axis(digits, order, axis=-1)
+        pts16 = pts.reshape(N, 2 * L).astype(jnp.uint16)   # affine rows
+        sp = jnp.take(pts16, order, axis=0)                # (G, N, 2L) u16
+
+        targets = jnp.arange(1, B + 1, dtype=digits.dtype)
         bounds = (
-            jnp.searchsorted(sorted_d, jnp.arange(1, B + 1, dtype=digits.dtype))
+            jax.vmap(lambda d: jnp.searchsorted(d, targets))(sorted_d)
             .astype(jnp.int32)
             - 1
-        )
-        t = self._lane_scan_with_boundaries(sorted_p, bounds)  # (B, 3, L)
+        )                                                  # (G, B)
 
-        # sum_j j*B_j = (B-1) * T[e_{B-1}] - sum_{j=0}^{B-2} T[e_j]
-        total = t[B - 1]
-        partials = self._proj_scan(t[: B - 1])[-1] if B > 1 else None
-        acc = self._small_scalar_mul(total, B - 1, c)
-        if partials is not None:
-            acc = cv.add(acc, cv.neg(partials))
+        R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
+        R = min(R, N)
+        C = -(-N // R)
+        pad = R * C - N
+        if pad:
+            last = jnp.broadcast_to(sp[:, -1:], (G, pad, 2 * L))
+            sp = jnp.concatenate([sp, last], axis=1)
+        # (G, R, C, 2L) -> rows (C, 2L, G*R)
+        rows = jnp.moveaxis(sp.reshape(G, R, C, 2 * L), 2, 0)  # (C, G, R, 2L)
+        rows = jnp.moveaxis(rows, -1, 1).reshape(C, 2 * L, G * R)
+
+        emitted, tot = kern.scan_mixed(rows)   # (C, 3L, GR) u16, (3L, GR) u32
+
+        # lane-carry exclusive prefix per window (small: R lanes)
+        lane_tot = jnp.moveaxis(tot.reshape(3, L, G, R), (0, 1), (2, 3))
+        lane_tot = jnp.moveaxis(lane_tot, 1, 0)            # (R, G, 3, L)
+        lane_prefix = self._proj_scan(lane_tot)
+        ident = cv.identity()
+        excl = jnp.concatenate(
+            [jnp.broadcast_to(ident, (1, G, 3, L)), lane_prefix[:-1]], axis=0
+        )
+
+        safe = jnp.maximum(bounds, 0)                      # (G, B)
+        lane_idx = safe // C
+        col_idx = safe % C
+        gidx = jnp.arange(G, dtype=jnp.int32)[:, None]
+        flat_lane = gidx * R + lane_idx                    # (G, B)
+        local16 = emitted[col_idx, :, flat_lane]           # (G, B, 3L) u16
+        local = local16.reshape(G, B, 3, L).astype(jnp.uint32)
+        carry_g = excl[lane_idx, gidx]                     # (G, B, 3, L)
+
+        valid = bounds >= 0
+        identb = jnp.broadcast_to(ident, local.shape)
+        local = cv.select(valid, local, identb)
+        carry_g = cv.select(valid, carry_g, identb)
+
+        # ---- bucket phase (Abel summation), fused reduction
+        total = cv.add(carry_g[:, B - 1], local[:, B - 1])  # (G, 3, L)
+
+        def dbl(_, a):
+            return cv.dbl(a)
+
+        shifted = jax.lax.fori_loop(0, c, dbl, total)      # 2^c * T
+        acc = cv.add(shifted, cv.neg(total))               # (B-1) * T
+        if B > 1:
+            rest = jnp.concatenate(
+                [carry_g[:, : B - 1], local[:, : B - 1]], axis=1
+            )                                              # (G, 2B-2, 3, L)
+            partial = self._fused_reduce_rows(rest, kern)  # (G, 3, L)
+            acc = cv.add(acc, cv.neg(partial))
         return acc
 
     def _small_scalar_mul(self, point, k: int, nbits: int):
-        """point * k for k < 2^nbits via fori_loop double-and-add."""
+        """point * k for k < 2^nbits via fori_loop double-and-add.
+
+        `point` may carry leading batch dims: (..., 3, L)."""
         cv = self.curve
         kbits = jnp.asarray(
             [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
@@ -214,7 +451,8 @@ class MSM:
             added = cv.add(acc, point)
             return cv.select(jnp.asarray(kbits[i] == 1), added, acc)
 
-        return jax.lax.fori_loop(0, nbits, body, cv.identity())
+        init = _vary_like(jnp.broadcast_to(cv.identity(), point.shape), point)
+        return jax.lax.fori_loop(0, nbits, body, init)
 
     # ------------------------------------------------------------- driver
     def msm_chunk(self, points_aff_mont, scalars, c: int,
@@ -223,15 +461,26 @@ class MSM:
 
         `scalar_bits` < fr.bits is the precomputed-multiples mode: slices
         from msm/precompute.py carry only that many live bits, so fewer
-        windows are scanned (msm_api.rs:39-40 parity)."""
+        windows are scanned (msm_api.rs:39-40 parity).
+
+        Windows run in co-scanned groups of ~group_windows; padded windows
+        (digits all zero) cost nothing extra and reduce to the identity.
+        """
         nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
         digits = self._digits(scalars, c, nwin)  # (W, N)
 
-        def per_window(_, d):
-            return None, self._window_sum(points_aff_mont, d, c)
+        ngroups = -(-nwin // max(1, self.config.group_windows))
+        G = -(-nwin // ngroups)
+        wpad = ngroups * G
+        if wpad > nwin:
+            digits = jnp.pad(digits, ((0, wpad - nwin), (0, 0)))
+        dgrid = digits.reshape(ngroups, G, -1)
 
-        _, wsums = jax.lax.scan(per_window, None, digits)
-        return wsums
+        def per_group(_, dg):
+            return None, self._window_sums_group(points_aff_mont, dg, c)
+
+        _, wsums = jax.lax.scan(per_group, None, dgrid)  # (ngroups, G, 3, L)
+        return wsums.reshape(wpad, 3, -1)[:nwin]
 
     def fold_windows(self, wsums, c: int):
         """Horner fold: result = sum_w 2^(c*w) * wsums[w]."""
@@ -252,13 +501,37 @@ class MSM:
         wsums = self.msm_chunk(points, scalars, c, scalar_bits)
         return self.fold_windows(wsums, c)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _msm_chunk_jit(self, points, scalars, c: int, scalar_bits=None):
-        return self.msm_chunk(points, scalars, c, scalar_bits)
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _digits_jit(self, scalars, c: int, nwin: int):
+        return self._digits(scalars, c, nwin)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _scan_phase_jit(self, points, digits_g, c: int):
+        return self._scan_phase(points, digits_g, c)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _bucket_phase_jit(self, carry_g, local, c: int):
+        return self._bucket_phase(carry_g, local, c)
+
+    def _group_jit(self, points, digits_g, c: int):
+        """One window group, as two separately-compiled phases (XLA:CPU
+        whole-program compile scales superlinearly; splitting keeps each
+        phase's compile tractable and both instances are reused across
+        every group and chunk)."""
+        carry_g, local, _ = self._scan_phase_jit(points, digits_g, c)
+        return self._bucket_phase_jit(carry_g, local, c)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _fold_jit(self, wsums, c: int):
         return self.fold_windows(wsums, c)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _msm_fused_jit(self, pts, scalars, c: int, scalar_bits, fold: bool):
+        """One chunk on the fused-kernel path, optionally folded: a single
+        dispatch end-to-end (digits -> sort -> fused scan -> fused bucket
+        reduction -> Horner fold) — dispatch latency matters on TPU."""
+        wsums = self._fused_chunk(pts, scalars, c, scalar_bits)
+        return self.fold_windows(wsums, c) if fold else wsums
 
     @functools.partial(jax.jit, static_argnums=0)
     def _add_wsums(self, a, b):
@@ -269,26 +542,52 @@ class MSM:
         """MSM of (N, 2, L) Montgomery affine points with (N, Ls) canonical
         scalar limbs. Returns one projective point (3, L), Montgomery form.
 
-        Large inputs are processed in chunks of 2^chunk_log2 points with
-        per-window partial sums combined before the final fold (mirrors the
-        reference's 2048-element streaming chunks, msm_api.rs:156 — here the
-        chunk is whatever fits HBM comfortably).  `scalar_bits` is for
-        precompute-expanded inputs (see `msm_precomputed`).
+        Orchestration happens in Python: one compiled window-group kernel
+        is re-dispatched per (chunk, group) — JAX async dispatch queues the
+        launches back-to-back (the task-queue behavior the reference gets
+        from its FPGA queue, msm_hw_code.rs:19-25) while compile cost stays
+        one kernel instead of a mega-graph.  Large inputs stream in chunks
+        of 2^chunk_log2 points (the reference's 2048-element DMA chunking
+        analog, msm_api.rs:156).  `scalar_bits` is for precompute-expanded
+        inputs (see `msm_precomputed`).
         """
         n = points_aff_mont.shape[0]
         c = window_bits or min(self.config.window_bits, default_window_bits(n))
+        nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
         chunk = 1 << self.config.chunk_log2
-        if n <= chunk:
-            return self._msm_jit(points_aff_mont, scalars, c, scalar_bits)
 
-        wsums = None
+        if self.config.fused_active():
+            if n <= chunk:
+                return self._msm_fused_jit(
+                    points_aff_mont, scalars, c, scalar_bits, True
+                )
+            wsums = None
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                part = self._msm_fused_jit(
+                    points_aff_mont[lo:hi], scalars[lo:hi], c,
+                    scalar_bits, False,
+                )
+                wsums = part if wsums is None else self._add_wsums(wsums, part)
+            return self._fold_jit(wsums, c)
+
+        ngroups = -(-nwin // max(1, self.config.group_windows))
+        G = -(-nwin // ngroups)
+        wpad = ngroups * G
+
+        wsums = None  # (wpad, 3, L) running per-window partial sums
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            part = self._msm_chunk_jit(
-                points_aff_mont[lo:hi], scalars[lo:hi], c, scalar_bits
-            )
+            digits = self._digits_jit(scalars[lo:hi], c, nwin)
+            if wpad > nwin:
+                digits = jnp.pad(digits, ((0, wpad - nwin), (0, 0)))
+            parts = [
+                self._group_jit(points_aff_mont[lo:hi], digits[g * G : (g + 1) * G], c)
+                for g in range(ngroups)
+            ]
+            part = jnp.concatenate(parts, axis=0)    # (wpad, 3, L)
             wsums = part if wsums is None else self._add_wsums(wsums, part)
-        return self._fold_jit(wsums, c)
+        return self._fold_jit(wsums[:nwin], c)
 
     def msm_precomputed(self, expanded_points, scalars, factor: int,
                         window_bits: int | None = None):

@@ -4,12 +4,17 @@ The reference's NTT is a fixed 2^27 FPGA kernel fed through a 16-bank HBM
 scatter/gather shuffle done on the host CPU (`/root/reference/src/ingo_ntt/
 ntt_data.rs:65-156`).  Here the transform itself is computed on TPU:
 
-  * iterative radix-2 DIT butterflies after a bit-reversal permutation —
-    every stage is a dense reshape + batched Montgomery multiply (VPU);
-  * per-stage twiddle tables precomputed host-side, Montgomery form;
-  * a four-step (Bailey) decomposition for sizes whose twiddle/working sets
-    exceed a single pass — the transpose between the two passes is the
-    TPU analog of the reference's 16-bank shuffle, and becomes an
+  * iterative radix-2 DIT butterflies after a bit-reversal permutation.
+    All log2(n) stages run through ONE compiled butterfly instance inside
+    a `fori_loop` — pair/twiddle indices are computed in-graph from the
+    stage number, so the graph holds a single batched Montgomery multiply
+    regardless of n (compile time is flat in n);
+  * the full twiddle set (n/2 powers of the root) is generated on device
+    at plan-build time with log2(n) batched muls (`Field.powers`) — no
+    host bigint loops;
+  * a four-step (Bailey) decomposition for sizes whose twiddle/working
+    sets exceed a single pass — the transpose between the two passes is
+    the TPU analog of the reference's 16-bank shuffle, and becomes an
     all_to_all over the mesh in the distributed path (dist/ntt_dist.py).
 
 Data layout: (..., n, L) uint32 16-bit limbs, Montgomery form, natural
@@ -54,21 +59,15 @@ class NTTPlan:
         self.w = w
         self.w_inv = winv
 
-        def stage_tables(root):
-            tables = []
-            for s in range(logn):
-                m = 1 << (s + 1)
-                wm = pow(root, self.n // m, p)
-                cur, vals = 1, []
-                for _ in range(1 << s):
-                    vals.append((cur * spec.r) % p)  # Montgomery form
-                    cur = cur * wm % p
-                tab = np.stack([int_to_limbs(v, L) for v in vals])
-                tables.append(tab.astype(np.uint32))
-            return tables
+        def root_powers(root):
+            mont = jnp.asarray(int_to_limbs((root * spec.r) % p, L))
+            return self.field.powers(mont, max(self.n // 2, 1))
 
-        self.twiddles_fwd = stage_tables(w)
-        self.twiddles_inv = stage_tables(winv)
+        # all twiddles any stage needs are powers of the base root:
+        # stage s uses W^(t * n/2^(s+1)), t < 2^s — a strided subset of
+        # [W^0 .. W^(n/2-1)], gathered in-graph.
+        self.pow_fwd = root_powers(w)          # (n/2, L) device, Montgomery
+        self.pow_inv = root_powers(winv)
         self.bitrev = _bitrev_perm(logn)
         ninv = pow(self.n, -1, p)
         self.n_inv_mont = np.asarray(
@@ -76,26 +75,44 @@ class NTTPlan:
         )
 
     # ------------------------------------------------------------- kernels
-    def _stages(self, x, tables):
-        """x: (..., n, L) bit-reversed order in, natural order out."""
+    def _stages(self, x, pow_all):
+        """x: (..., n, L) bit-reversed order in, natural order out.
+
+        One fori_loop over stages; a single butterfly instance with
+        in-graph index math (shifts by the traced stage number).
+        """
         f = self.field
-        n, L = self.n, self.spec.nlimbs
-        batch = x.shape[:-2]
-        for s in range(self.logn):
-            half = 1 << s
-            x = x.reshape(*batch, n >> (s + 1), 2, half, L)
-            a = x[..., 0, :, :]
-            b = f.mul(x[..., 1, :, :], jnp.asarray(tables[s]))
-            x = jnp.stack([f.add(a, b), f.sub(a, b)], axis=-3)
-        return x.reshape(*batch, n, L)
+        n, logn = self.n, self.logn
+        if logn == 0:
+            return x
+        half = n // 2
+        j = jnp.arange(half, dtype=jnp.int32)
+        ii = jnp.arange(n, dtype=jnp.int32)
+
+        def stage(s, x):
+            mask = (jnp.int32(1) << s) - 1
+            lo = ((j >> s) << (s + 1)) | (j & mask)   # bit-s=0 position
+            hi = lo | (jnp.int32(1) << s)
+            tw_idx = (j & mask) << (self.logn - 1 - s)  # t * n/2^(s+1)
+            w = jnp.take(pow_all, tw_idx, axis=0)     # (n/2, L)
+            a = jnp.take(x, lo, axis=-2)
+            b = jnp.take(x, hi, axis=-2)
+            wb = f.mul(w, b)
+            cat = jnp.concatenate([f.add(a, wb), f.sub(a, wb)], axis=-2)
+            # scatter back: x'[i] lives at pair jj, half-half select
+            jj = ((ii >> (s + 1)) << s) | (ii & mask)
+            src = jj + ((ii >> s) & 1) * half
+            return jnp.take(cat, src, axis=-2)
+
+        return jax.lax.fori_loop(0, logn, stage, x)
 
     def _fwd(self, x):
         x = jnp.take(x, jnp.asarray(self.bitrev), axis=-2)
-        return self._stages(x, self.twiddles_fwd)
+        return self._stages(x, self.pow_fwd)
 
     def _inv(self, x):
         x = jnp.take(x, jnp.asarray(self.bitrev), axis=-2)
-        x = self._stages(x, self.twiddles_inv)
+        x = self._stages(x, self.pow_inv)
         return self.field.mul(x, jnp.asarray(self.n_inv_mont))
 
     @functools.cached_property
@@ -122,6 +139,10 @@ class FourStepNTT:
 
     The step-4 transpose is the reference's bank-shuffle analog
     (ntt_data.rs:80-156) and the all_to_all boundary when sharded.
+
+    The W^(i*j) inter-pass twiddle matrix is generated on device
+    (`Field.power_matrix`, n total muls in log-doubling batches) and held
+    compressed as uint16 limbs — at 2^24 that is ~0.5 GiB instead of 1.
     """
 
     def __init__(self, spec: FieldSpec, logn: int, logn1: int | None = None):
@@ -142,23 +163,11 @@ class FourStepNTT:
         # apply n1^-1 and n2^-1, and n1^-1 * n2^-1 == n^-1.
 
     def _twiddle_matrix(self, w):
-        """W^(i*j) for i<n1, j<n2, Montgomery form, computed on host.
-
-        Host-side cost is O(n) python bigint muls — acceptable up to ~2^22;
-        larger sizes should use the sharded path which builds per-shard
-        twiddle tiles.
-        """
+        """W^(i*j) for i<n1, j<n2, Montgomery form, uint16-compressed."""
         p, L = self.spec.p, self.spec.nlimbs
-        rows = []
-        wi = 1
-        for i in range(self.n1):
-            row, cur = [], 1
-            for j in range(self.n2):
-                row.append((cur * self.spec.r) % p)
-                cur = cur * wi % p
-            rows.append([int_to_limbs(v, L) for v in row])
-            wi = wi * w % p
-        return np.asarray(rows, dtype=np.uint32)  # (n1, n2, L)
+        mont = jnp.asarray(int_to_limbs((w * self.spec.r) % p, L))
+        bases = self.field.powers(mont, self.n1)          # (n1, L)
+        return Field.compress(self.field.power_matrix(bases, self.n2))
 
     def _fwd(self, x):
         f = self.field
@@ -168,7 +177,7 @@ class FourStepNTT:
         a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
         a = self.plan1._fwd(a)
         a = jnp.swapaxes(a, -3, -2)                 # (..., n1, n2, L)
-        a = f.mul(a, jnp.asarray(self._tw_fwd))
+        a = f.mul(a, Field.decompress(self._tw_fwd))
         a = self.plan2._fwd(a)                      # row NTTs over n2 axis
         # output index (j, i) -> X[j * n1 + i]
         a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
@@ -180,7 +189,7 @@ class FourStepNTT:
         a = x.reshape(*x.shape[:-2], n2, n1, L)     # inverse of final transpose
         a = jnp.swapaxes(a, -3, -2)                 # (..., n1, n2, L)
         a = self.plan2._inv(a)
-        a = f.mul(a, jnp.asarray(self._tw_inv))
+        a = f.mul(a, Field.decompress(self._tw_inv))
         a = jnp.swapaxes(a, -3, -2)                 # (..., n2, n1, L)
         a = self.plan1._inv(a)
         a = jnp.swapaxes(a, -3, -2)

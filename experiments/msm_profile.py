@@ -1,4 +1,4 @@
-"""Break down MSM 2^18 time by phase on the TPU."""
+"""Break down MSM time by phase on the TPU (new grouped-window engine)."""
 import sys
 import time
 
@@ -27,67 +27,53 @@ def timeit(fn, *args, iters=3):
 
 
 logn = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+c = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 n = 1 << logn
 spec = CURVES["bls12_381"]
 curve = Curve(spec)
-msm = MSM(curve, MSMConfig(chunk_log2=max(logn, 20), scan_lanes=lanes))
+cfg = MSMConfig(chunk_log2=max(logn, 19))
+msm = MSM(curve, cfg)
 points, scalars, _, _ = tiled_msm_instance(spec, n, seed=123)
 pts = curve.fq.to_mont(jnp.asarray(points))
 scal = jnp.asarray(scalars)
 sync((pts, scal))
 
-c = 16
-nwin = -(-255 // c)
-print(f"n=2^{logn} c={c} nwin={nwin} lanes={lanes or 'auto'}")
+from blaze_tpu.msm.pippenger import default_window_bits
+c = c or min(cfg.window_bits, default_window_bits(n))
+nwin = -(-spec.fr.bits // c)
+ngroups = -(-nwin // cfg.group_windows)
+G = -(-nwin // ngroups)
+print(f"n=2^{logn} c={c} nwin={nwin} groups={ngroups}x{G}")
 
-# full
-t = timeit(jax.jit(lambda p, s: msm._msm_jit(p, s, c, None)), pts, scal)
+t0 = time.perf_counter()
+out = msm(pts, scal, window_bits=c)
+sync(out)
+print(f"first call (compile) {time.perf_counter()-t0:9.1f} s")
+
+t = timeit(lambda p, s: msm(p, s, window_bits=c), pts, scal)
 print(f"full msm          {t*1e3:9.1f} ms   {n/t/1e3:8.1f} k pts/s")
 
-# digits only
-dig = jax.jit(lambda s: msm._digits(s, c, nwin))
-t = timeit(dig, scal)
+# phases
+digits = msm._digits_jit(scal, c, nwin)
+wpad = ngroups * G
+if wpad > nwin:
+    digits = jnp.pad(digits, ((0, wpad - nwin), (0, 0)))
+sync(digits)
+t = timeit(lambda s: msm._digits_jit(s, c, nwin), scal)
 print(f"digits            {t*1e3:9.1f} ms")
-digits = dig(scal)
 
-# sort + gather per window
-@jax.jit
-def sort_take(p, d):
-    def per(_, dw):
-        order = jnp.argsort(dw)
-        sd = jnp.take(dw, order)
-        sp = jnp.take(p, order, axis=0)
-        return None, (sd[0], sp[0, 0, 0])
-    _, o = jax.lax.scan(per, None, d)
-    return o
+dg = digits[:G]
+t = timeit(lambda p, d: msm._scan_phase_jit(p, d, c), pts, dg)
+print(f"scan_phase x{ngroups}    {t*1e3:9.1f} ms  (= {t*ngroups*1e3:.0f} total)")
 
-t = timeit(sort_take, pts, digits)
-print(f"sort+gather x{nwin} {t*1e3:9.1f} ms")
+cg, lc, _ = msm._scan_phase_jit(pts, dg, c)
+sync((cg, lc))
+t = timeit(lambda a, b: msm._bucket_phase_jit(a, b, c), cg, lc)
+print(f"bucket_phase x{ngroups}  {t*1e3:9.1f} ms  (= {t*ngroups*1e3:.0f} total)")
 
-# lane scan only (no sort): scan add_mixed over the raw points
-@jax.jit
-def scan_only(p, d):
-    def per(_, dw):
-        t = msm._lane_scan_with_boundaries(
-            p, jnp.arange(1 << c, dtype=jnp.int32))
-        return None, t[0, 0, 0]
-    _, o = jax.lax.scan(per, None, d)
-    return o
-
-t = timeit(scan_only, pts, digits)
-print(f"lane-scan  x{nwin} {t*1e3:9.1f} ms")
-
-# single window_sum
-@jax.jit
-def one_window(p, dw):
-    return msm._window_sum(p, dw, c)
-
-t = timeit(one_window, pts, digits[0])
-print(f"one window_sum    {t*1e3:9.1f} ms  (x{nwin} = {t*nwin*1e3:.0f})")
-
-# fold
-wsums = jax.jit(lambda p, s: msm.msm_chunk(p, s, c, None))(pts, scal)
+wsums = jnp.concatenate(
+    [msm._bucket_phase_jit(*msm._scan_phase_jit(pts, digits[g * G:(g + 1) * G], c)[:2], c)
+     for g in range(ngroups)], axis=0)[:nwin]
 sync(wsums)
-t = timeit(jax.jit(lambda w: msm.fold_windows(w, c)), wsums)
+t = timeit(lambda w: msm._fold_jit(w, c), wsums)
 print(f"fold              {t*1e3:9.1f} ms")
