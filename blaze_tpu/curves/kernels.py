@@ -56,13 +56,24 @@ class ECKernels:
         eng = MXUMont.for_spec(spec.fq)
         self.L = eng.L
         self.W = eng.W
-        self._mnp_host = eng._m_np_host        # (2L, 3W) REDC byte matrix
-        self._mp_host = eng._m_p_host          # (4L, 2L) m*p byte matrix
+        # REDC byte matrices (output rows deinterleaved lo-block/hi-block
+        # by MXUMont, so 16-bit reconstruction is contiguous slices)
+        self._mnp_host = eng._m_np_host        # (2L, 3W)
+        self._mp_host = eng._m_p_host          # (4L, 2L)
         self._p_ints = eng._p_ints
         fq = spec.fq
-        b3 = (3 * spec.b) % fq.p
+        # Lazy-reduction invariant: every in-kernel value is < 2p (not < p).
+        # Montgomery mul of x, y < 2p gives (xy + mp)/R < 4p^2/R + p < 2p
+        # whenever R > 4p — true for all supported base fields — so muls
+        # skip their conditional subtraction entirely; adds/subs reduce
+        # against 2p.  Canonicalize (one cond-sub vs p) only when results
+        # leave the kernel (msm/pippenger.py does this on the gathered
+        # bucket boundaries and lane totals).
+        assert fq.r > 4 * fq.p, "lazy REDC bound needs R > 4p"
         from ..fields.spec import int_to_limbs
 
+        self._p2_ints = [int(v) for v in int_to_limbs(2 * fq.p, self.L)]
+        b3 = (3 * spec.b) % fq.p
         self._b3_ints = [int(v) for v in int_to_limbs((b3 * fq.r) % fq.p, self.L)]
         self._one_ints = [int(v) for v in np.asarray(fq.one_mont_limbs)]
 
@@ -133,6 +144,13 @@ class ECKernels:
         ge = (top > 0) | (borrow == 0)
         return jnp.where(ge, sub, limbs)
 
+    def _cond_sub_2p(self, limbs):
+        """limbs - 2p when limbs >= 2p (lazy-invariant restore, < 4p in)."""
+        T = limbs.shape[1]
+        pcol = self._const_col(self._p2_ints, T)
+        sub, borrow = self._ks_borrow_sub(limbs, pcol)
+        return jnp.where(borrow == 0, sub, limbs)
+
     def _mont_mul(self, a, b, mnp, mp):
         """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
         same math as fields/mxu.py MXUMont._kernel)."""
@@ -146,32 +164,35 @@ class ECKernels:
                                 ((i + 1, W - i - 1 - L), (0, 0)))
         t8 = jnp.concatenate(
             [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
-        ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        ).astype(jnp.int32).astype(jnp.bfloat16)
         m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
-        mc = m_cols.astype(jnp.int32).astype(jnp.uint32).reshape(L, 2, T)
-        m16 = mc[:, 0] + (mc[:, 1] << 8)
+        mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
+        m16 = mc[:L] + (mc[L:] << 8)           # deinterleaved lo/hi blocks
         m, _ = self._ks_carry(m16)
         m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
-            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+            jnp.int32).astype(jnp.bfloat16)
         q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
-        qc = q_cols.astype(jnp.int32).astype(jnp.uint32).reshape(2 * L, 2, T)
-        q16 = qc[:, 0] + (qc[:, 1] << 8)
+        qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
+        q16 = qc[: 2 * L] + (qc[2 * L :] << 8)
         u = acc + jnp.pad(q16, ((0, 1), (0, 0)))
         _, c1 = self._ks_carry(u[:L])
-        limbs, top = self._ks_carry(u[L : 2 * L], carry_in=c1)
-        top = top + u[2 * L : 2 * L + 1]
-        return self._cond_sub_p(limbs, top)
+        # lazy: inputs < 2p and R > 4p give a result < 2p < 2^(16L), so the
+        # carry out of limb L-1 is the whole story — no top column, no
+        # conditional subtraction.
+        limbs, _ = self._ks_carry(u[L : 2 * L], carry_in=c1)
+        return limbs
 
     def _add_f(self, a, b):
-        limbs, top = self._ks_carry(a + b)
-        return self._cond_sub_p(limbs, top)
+        """a + b under the < 2p lazy invariant (sum < 4p fits 16L bits)."""
+        limbs, _ = self._ks_carry(a + b)
+        return self._cond_sub_2p(limbs)
 
     def _sub_f(self, a, b):
-        """a - b mod p on (L, T) 16-bit limb batches."""
+        """a - b mod 2p on (L, T) 16-bit limb batches (lazy invariant)."""
         T = a.shape[1]
         d, borrow = self._ks_borrow_sub(a, b)
-        # if borrowed, add p back (no re-borrow possible)
-        pcol = self._const_col(self._p_ints, T)
+        # if borrowed, add 2p back (a - b > -2p, so no re-borrow)
+        pcol = self._const_col(self._p2_ints, T)
         fixed, _ = self._ks_carry(d + pcol)
         return jnp.where(borrow > 0, fixed, d)
 
@@ -185,65 +206,73 @@ class ECKernels:
         return self._const_col(self._b3_ints, T)
 
     # ----------------------------------------------------- group formulas
+    #
+    # Wave-batched: each wave's independent Montgomery products run as ONE
+    # wide _mont_mul on lane-concatenated operands.  The REDC matmuls sit
+    # on the MXU while everything else is VPU work; batching a wave turns
+    # 2 MXU<->VPU round-trips *per product* into 2 per wave (measured:
+    # each transition stalls ~0.5 us/tile — the dominant cost of the
+    # unbatched body).
+    def _mm_wave(self, xs, ys, mnp, mp):
+        T = xs[0].shape[1]
+        r = self._mont_mul(
+            jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1), mnp, mp
+        )
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
+
+    def _add_wave(self, xs, ys):
+        T = xs[0].shape[1]
+        r = self._add_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
+
+    def _sub_wave(self, xs, ys):
+        T = xs[0].shape[1]
+        r = self._sub_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
+
     def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, mnp, mp):
-        """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls."""
-        mm = lambda a, b: self._mont_mul(a, b, mnp, mp)
-        add, sub = self._add_f, self._sub_f
+        """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls in 3 waves."""
         b3 = self._b3_col(X1.shape[1])
 
-        m0 = mm(X1, X2)
-        m1 = mm(Y1, Y2)
-        m2 = mm(add(X1, Y1), add(X2, Y2))
-        m3 = mm(Y2, Z1)
-        m4 = mm(X2, Z1)
-        t3 = sub(m2, add(m0, m1))            # X1Y2 + X2Y1
-        t4 = add(m3, Y1)                     # Y1 + Y2Z1
-        u2 = add(m4, X1)                     # X1 + X2Z1
-        t0 = add(add(m0, m0), m0)            # 3 X1X2
-        w0 = mm(b3, Z1)
-        w1 = mm(b3, u2)
-        z3 = add(m1, w0)
-        t1 = sub(m1, w0)
-        r0 = mm(t3, t1)
-        r1 = mm(t4, w1)
-        r2 = mm(t1, z3)
-        r3 = mm(t0, w1)
-        r4 = mm(z3, t4)
-        r5 = mm(t0, t3)
-        X3 = sub(r0, r1)
-        Y3 = add(r2, r3)
-        Z3 = add(r4, r5)
+        s0, s1 = self._add_wave([X1, X2], [Y1, Y2])
+        m0, m1, m2, m3, m4 = self._mm_wave(
+            [X1, Y1, s0, Y2, X2], [X2, Y2, s1, Z1, Z1], mnp, mp
+        )
+        d0, t4, u2, d3 = self._add_wave(
+            [m0, m3, m4, m0], [m1, Y1, X1, m0]
+        )                                    # m0+m1, Y1+Y2Z1, X1+X2Z1, 2m0
+        t3 = self._sub_f(m2, d0)             # X1Y2 + X2Y1
+        t0 = self._add_f(d3, m0)             # 3 X1X2
+        w0, w1 = self._mm_wave([b3, b3], [Z1, u2], mnp, mp)
+        z3 = self._add_f(m1, w0)
+        t1 = self._sub_f(m1, w0)
+        r0, r1, r2, r3, r4, r5 = self._mm_wave(
+            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], mnp, mp
+        )
+        X3 = self._sub_f(r0, r1)
+        Y3, Z3 = self._add_wave([r2, r4], [r3, r5])
         return X3, Y3, Z3
 
     def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, mnp, mp):
-        """RCB 2016 alg 7 (a=0). 12 muls; complete (handles identities)."""
-        mm = lambda a, b: self._mont_mul(a, b, mnp, mp)
-        add, sub = self._add_f, self._sub_f
+        """RCB 2016 alg 7 (a=0). 12 muls in 3 waves; complete."""
         b3 = self._b3_col(X1.shape[1])
 
-        m0 = mm(X1, X2)
-        m1 = mm(Y1, Y2)
-        m2 = mm(Z1, Z2)
-        m3 = mm(add(X1, Y1), add(X2, Y2))
-        m4 = mm(add(Y1, Z1), add(Y2, Z2))
-        m5 = mm(add(X1, Z1), add(X2, Z2))
-        t3 = sub(m3, add(m0, m1))            # X1Y2 + X2Y1
-        t4 = sub(m4, add(m1, m2))            # Y1Z2 + Y2Z1
-        t5 = sub(m5, add(m0, m2))            # X1Z2 + X2Z1
-        t0 = add(add(m0, m0), m0)            # 3 X1X2
-        w0 = mm(b3, m2)                      # 3b Z1Z2
-        w1 = mm(b3, t5)
-        z3 = add(m1, w0)
-        t1 = sub(m1, w0)
-        r0 = mm(t3, t1)
-        r1 = mm(t4, w1)
-        r2 = mm(t1, z3)
-        r3 = mm(t0, w1)
-        r4 = mm(z3, t4)
-        r5 = mm(t0, t3)
-        X3 = sub(r0, r1)
-        Y3 = add(r2, r3)
-        Z3 = add(r4, r5)
+        sa = self._add_wave([X1, X2, Y1, Y2, X1, X2], [Y1, Y2, Z1, Z2, Z1, Z2])
+        m0, m1, m2, m3, m4, m5 = self._mm_wave(
+            [X1, Y1, Z1, sa[0], sa[2], sa[4]],
+            [X2, Y2, Z2, sa[1], sa[3], sa[5]], mnp, mp,
+        )
+        u = self._add_wave([m0, m1, m0, m0], [m1, m2, m2, m0])
+        t3, t4, t5 = self._sub_wave([m3, m4, m5], [u[0], u[1], u[2]])
+        t0 = self._add_f(u[3], m0)           # 3 X1X2
+        w0, w1 = self._mm_wave([b3, b3], [m2, t5], mnp, mp)
+        z3 = self._add_f(m1, w0)
+        t1 = self._sub_f(m1, w0)
+        r0, r1, r2, r3, r4, r5 = self._mm_wave(
+            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], mnp, mp
+        )
+        X3 = self._sub_f(r0, r1)
+        Y3, Z3 = self._add_wave([r2, r4], [r3, r5])
         return X3, Y3, Z3
 
     # ------------------------------------------------------- fused scan

@@ -77,6 +77,10 @@ class MXUMont:
                 for i in range(B):
                     if off + i < B:
                         m_np[off + i, c * W + k] = np8[i]
+        # deinterleave output rows (lo bytes block, then hi bytes block):
+        # 16-bit reconstruction becomes two contiguous sublane slices
+        # instead of stride-2 gathers, which Mosaic lowers much faster.
+        m_np = np.concatenate([m_np[0::2], m_np[1::2]], axis=0)
         self._m_np_host = m_np
 
         # q = m * p from m's byte planes: input row c*L + l is byte c of
@@ -87,6 +91,7 @@ class MXUMont:
                 if i + j < 4 * L:
                     c, l = i % 2, i // 2
                     m_p[i + j, c * L + l] = p8[j]
+        m_p = np.concatenate([m_p[0::2], m_p[1::2]], axis=0)  # deinterleave
         self._m_p_host = m_p
         self._p_ints = [int(v) for v in np.asarray(spec.p_limbs)]
 
@@ -108,11 +113,11 @@ class MXUMont:
         # byte planes (values < 2^8, exact in bf16)
         t8 = jnp.concatenate(
             [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
-        ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        ).astype(jnp.int32).astype(jnp.bfloat16)
 
         m_cols = jnp.dot(mnp_ref[:], t8, preferred_element_type=jnp.float32)
-        mc = m_cols.astype(jnp.int32).astype(jnp.uint32).reshape(L, 2, T)
-        m16 = mc[:, 0] + (mc[:, 1] << 8)           # (L, T) < 2^31
+        mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
+        m16 = mc[:L] + (mc[L:] << 8)               # (L, T) < 2^31
 
         def carry(cols, carry_in=None):
             outs = []
@@ -126,11 +131,11 @@ class MXUMont:
 
         m, _ = carry(m16)                          # exact m = T*N' mod R
         m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
-            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+            jnp.int32).astype(jnp.bfloat16)
 
         q_cols = jnp.dot(mp_ref[:], m8, preferred_element_type=jnp.float32)
-        qc = q_cols.astype(jnp.int32).astype(jnp.uint32).reshape(2 * L, 2, T)
-        q16 = qc[:, 0] + (qc[:, 1] << 8)           # (2L, T)
+        qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
+        q16 = qc[: 2 * L] + (qc[2 * L :] << 8)     # (2L, T)
         u = acc + jnp.pad(q16, ((0, 1), (0, 0)))   # T + m*p
 
         _, c1 = carry(u[:L])                       # low half == 0 mod R

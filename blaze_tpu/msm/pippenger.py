@@ -66,6 +66,7 @@ class MSMConfig:
     scan_lanes: int = 0            # 0 = auto (~sqrt of padded chunk)
     group_windows: int = 6         # windows co-scanned per pass (memory bound)
     fused: str = "auto"            # fused Pallas EC kernels: auto/on/off
+    kernel_tile: int = 1024        # lanes per Pallas grid block (fused path)
 
     def windows(self, scalar_bits: int) -> int:
         return -(-scalar_bits // self.window_bits)
@@ -332,6 +333,13 @@ class MSM:
         L = kL // k
         return jnp.moveaxis(x.reshape(*lead, k, L, M), -1, -3)
 
+    def _canon(self, x):
+        """Reduce limbs (..., L) from the kernels' lazy < 2p range to < p
+        (curves/kernels.py keeps values < 2p in-kernel; XLA-path Field ops
+        assume canonical inputs)."""
+        f = self.curve.fq
+        return f._cond_sub_p(x, jnp.zeros(x.shape[:-1], jnp.uint32))
+
     def _fused_reduce_rows(self, pts, kern):
         """EC sum over axis -3 of (..., M, 3, L) -> (..., 3, L).
 
@@ -352,8 +360,10 @@ class MSM:
         rows = jnp.moveaxis(jnp.moveaxis(r4, 2, 0), -1, 1)
         rows = rows.reshape(C2, 3 * L, G * R2)
         tot = kern.reduce_cols(rows.astype(jnp.uint16))    # (3L, G*R2)
-        # tot (3L, G*R2) -> (G, R2, 3, L)
-        lanes = jnp.moveaxis(tot.reshape(3, L, G, R2), (0, 1), (2, 3))
+        # tot (3L, G*R2) -> (G, R2, 3, L); canonicalize out of lazy range
+        lanes = self._canon(
+            jnp.moveaxis(tot.reshape(3, L, G, R2), (0, 1), (2, 3))
+        )
         out = self._tree_reduce(jnp.moveaxis(lanes, 1, 0))  # (G, 3, L)
         return out.reshape(*lead, 3, L) if lead else out[0]
 
@@ -365,7 +375,7 @@ class MSM:
         from ..curves.kernels import ECKernels
 
         cv = self.curve
-        kern = ECKernels.for_curve(cv.spec)
+        kern = ECKernels.for_curve(cv.spec, tile=self.config.kernel_tile)
         L = cv.nlimbs
         N = pts.shape[0]
         B = 1 << c
@@ -399,7 +409,9 @@ class MSM:
         emitted, tot = kern.scan_mixed(rows)   # (C, 3L, GR) u16, (3L, GR) u32
 
         # lane-carry exclusive prefix per window (small: R lanes)
-        lane_tot = jnp.moveaxis(tot.reshape(3, L, G, R), (0, 1), (2, 3))
+        lane_tot = self._canon(
+            jnp.moveaxis(tot.reshape(3, L, G, R), (0, 1), (2, 3))
+        )
         lane_tot = jnp.moveaxis(lane_tot, 1, 0)            # (R, G, 3, L)
         lane_prefix = self._proj_scan(lane_tot)
         ident = cv.identity()
@@ -413,7 +425,9 @@ class MSM:
         gidx = jnp.arange(G, dtype=jnp.int32)[:, None]
         flat_lane = gidx * R + lane_idx                    # (G, B)
         local16 = emitted[col_idx, :, flat_lane]           # (G, B, 3L) u16
-        local = local16.reshape(G, B, 3, L).astype(jnp.uint32)
+        local = self._canon(
+            local16.reshape(G, B, 3, L).astype(jnp.uint32)
+        )
         carry_g = excl[lane_idx, gidx]                     # (G, B, 3, L)
 
         valid = bounds >= 0
