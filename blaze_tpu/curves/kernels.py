@@ -452,6 +452,158 @@ class ECKernels:
         tot = self._reduce_fn(C, Bp)(mnp, mp, rows)
         return tot[..., :B] if npad else tot
 
+    # ------------------------------------------------- sequential chains
+    #
+    # Horner fold and k-fold doubling are long chains of group ops on a
+    # HANDFUL of points.  As XLA-level ops each link costs ~85 us (pad to
+    # tile, launch, HBM round-trip); here the whole chain is one
+    # pallas_call with the accumulator in VMEM scratch (~us per link).
+
+    def _fold_fn(self, c: int, Wn: int):
+        key = ("fold", c, Wn)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = self.L
+        TL = 128                              # one lane tile
+        steps = max((Wn - 1) * (c + 1), 1)
+
+        def lane_pick(ws, idx):
+            # Mosaic can't reduce unsigned ints; limbs are < 2^16 so an
+            # int32 sum is exact.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1)
+            col = jnp.sum(
+                jnp.where(lane == idx, ws.astype(jnp.int32), jnp.int32(0)),
+                axis=1, keepdims=True,
+            ).astype(jnp.uint32)
+            return jnp.broadcast_to(col, ws.shape)
+
+        def kernel(mnp_ref, mp_ref, ws_ref, o_ref, acc_scr):
+            s = pl.program_id(0)
+            ws = ws_ref[:]
+
+            @pl.when(s == 0)
+            def _init():
+                acc_scr[:] = lane_pick(ws, Wn - 1)
+
+            acc = acc_scr[:]
+            r = s // (c + 1)
+            pos = s % (c + 1)
+            X, Y, Z = acc[:L], acc[L : 2 * L], acc[2 * L :]
+            add_w = pos == c
+
+            q = jnp.where(add_w, lane_pick(ws, Wn - 2 - r), acc)
+            X3, Y3, Z3 = self._add_full_body(
+                X, Y, Z, q[:L], q[L : 2 * L], q[2 * L :],
+                mnp_ref[:], mp_ref[:],
+            )
+            acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
+
+            @pl.when(s == steps - 1)
+            def _fin():
+                o_ref[:] = acc_scr[:]
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * self.W), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, TL), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * L, TL), lambda s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * L, TL), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((3 * L, TL), jnp.uint32)],
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def fold_horner(self, wsums_lm, c: int):
+        """Horner window fold sum_w 2^(cw) W_w, entirely in one kernel.
+
+        wsums_lm: (3L, Wn) u32 lanes-major (lazy < 2p fine).  Returns one
+        (3L,) point, < 2p.  Doubling is the complete add with itself —
+        2 extra muls per link, zero extra code paths."""
+        L = self.L
+        threeL, Wn = wsums_lm.shape
+        assert threeL == 3 * L
+        ws = jnp.pad(wsums_lm, ((0, 0), (0, 128 - Wn)))
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        out = self._fold_fn(c, Wn)(mnp, mp, ws)
+        return out[:, 0]
+
+    def _dbl_fn(self, k: int, Bp: int):
+        key = ("dbln", k, Bp)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, W, T = self.L, self.W, self.tile
+
+        def kernel(mnp_ref, mp_ref, p_ref, o_ref, acc_scr):
+            s = pl.program_id(1)
+
+            @pl.when(s == 0)
+            def _init():
+                acc_scr[:] = p_ref[:]
+
+            a = acc_scr[:]
+            X3, Y3, Z3 = self._add_full_body(
+                a[:L], a[L : 2 * L], a[2 * L :],
+                a[:L], a[L : 2 * L], a[2 * L :],
+                mnp_ref[:], mp_ref[:],
+            )
+            acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
+
+            @pl.when(s == k - 1)
+            def _fin():
+                o_ref[:] = acc_scr[:]
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Bp // T, k),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * W), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, T), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * L, T), lambda i, s: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def dbl_n(self, pts_lm, k: int):
+        """k successive doublings of every lane: (3L, B) -> (3L, B)."""
+        if k <= 0:
+            return pts_lm
+        threeL, B = pts_lm.shape
+        T = self.tile
+        npad = -B % T
+        if npad:
+            pts_lm = jnp.pad(pts_lm, ((0, 0), (0, npad)))
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        out = self._dbl_fn(k, B + npad)(mnp, mp, pts_lm)
+        return out[:, :B] if npad else out
+
     # --------------------------------------------------- batched full add
     def _add_fn(self, Bp: int):
         key = ("add", Bp)

@@ -190,7 +190,11 @@ class MXUMont:
         return out.T[:n]
 
 
-MIN_KERNEL_BATCH = 128  # below this, padding to a lane tile wastes the VPU
+# Even a 1-element batch goes through the kernel on TPU: a padded tile is
+# ~1-2 us in-graph, while the portable limb-serial XLA path costs >100 us
+# per op inside large programs (measured: the Horner fold's 255 tiny
+# dbl/adds dominated whole-MSM time through the portable path).
+MIN_KERNEL_BATCH = 1
 
 
 def mont_mul_mxu(spec: FieldSpec, a, b):

@@ -384,16 +384,35 @@ class MSM:
         G = nwin
 
         order = jnp.argsort(digits, axis=-1)               # (G, N)
-        sorted_d = jnp.take_along_axis(digits, order, axis=-1)
         pts16 = pts.reshape(N, 2 * L).astype(jnp.uint16)   # affine rows
         sp = jnp.take(pts16, order, axis=0)                # (G, N, 2L) u16
 
-        targets = jnp.arange(1, B + 1, dtype=digits.dtype)
-        bounds = (
-            jax.vmap(lambda d: jnp.searchsorted(d, targets))(sorted_d)
-            .astype(jnp.int32)
-            - 1
-        )                                                  # (G, B)
+        # bucket boundaries e_j = #(digit <= j) - 1, via an MXU histogram:
+        # one-hot(hi byte)^T @ one-hot(lo byte) counts every (hi, lo) digit
+        # pair in one bf16 matmul (exact: counts < 2^24 in f32), then a
+        # cumsum.  Replaces vmapped searchsorted, whose 2^c binary-search
+        # gathers per window dominated whole-MSM time.
+        lo_bits = min(c, 8)
+        lo_n = 1 << lo_bits
+        hi_n = max(B >> lo_bits, 1)
+
+        def hist_one(d):
+            dh = (d >> lo_bits).astype(jnp.int32)
+            dl = (d & (lo_n - 1)).astype(jnp.int32)
+            A = (dh[:, None] == jnp.arange(hi_n, dtype=jnp.int32)).astype(
+                jnp.bfloat16
+            )
+            Bm = (dl[:, None] == jnp.arange(lo_n, dtype=jnp.int32)).astype(
+                jnp.bfloat16
+            )
+            h = jax.lax.dot_general(
+                A, Bm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (hi_n, lo_n)
+            return h.reshape(B).astype(jnp.int32)
+
+        hist = jax.lax.map(hist_one, digits)               # (G, B)
+        bounds = jnp.cumsum(hist, axis=-1) - 1             # (G, B)
 
         R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
         R = min(R, N)
@@ -438,10 +457,13 @@ class MSM:
         # ---- bucket phase (Abel summation), fused reduction
         total = cv.add(carry_g[:, B - 1], local[:, B - 1])  # (G, 3, L)
 
-        def dbl(_, a):
-            return cv.dbl(a)
-
-        shifted = jax.lax.fori_loop(0, c, dbl, total)      # 2^c * T
+        # 2^c * T: c doublings in ONE kernel (in-graph XLA-level group ops
+        # cost ~85 us/link; the chained kernel is ~us/link)
+        tot_lm = jnp.moveaxis(total, 0, -1).reshape(3 * L, G)
+        shifted_lm = kern.dbl_n(tot_lm, c)
+        shifted = self._canon(
+            jnp.moveaxis(shifted_lm.reshape(3, L, G), -1, 0)
+        )
         acc = cv.add(shifted, cv.neg(total))               # (B-1) * T
         if B > 1:
             rest = jnp.concatenate(
@@ -545,7 +567,19 @@ class MSM:
         dispatch end-to-end (digits -> sort -> fused scan -> fused bucket
         reduction -> Horner fold) — dispatch latency matters on TPU."""
         wsums = self._fused_chunk(pts, scalars, c, scalar_bits)
-        return self.fold_windows(wsums, c) if fold else wsums
+        if not fold:
+            return wsums
+        from ..curves.kernels import ECKernels
+
+        kern = ECKernels.for_curve(self.curve.spec,
+                                   tile=self.config.kernel_tile)
+        L = self.curve.nlimbs
+        nwin = wsums.shape[0]
+        if nwin == 1:
+            return wsums[0]
+        ws_lm = jnp.moveaxis(wsums, 0, -1).reshape(3 * L, nwin)
+        res = kern.fold_horner(ws_lm, c)                   # (3L,), < 2p
+        return self._canon(res.reshape(3, L))
 
     @functools.partial(jax.jit, static_argnums=0)
     def _add_wsums(self, a, b):

@@ -1,0 +1,63 @@
+"""Correctness check of the fused TPU MSM path against the CPU oracle.
+
+Small-N end-to-end checks across window widths, exercising every fused
+kernel (scan, reduce, dbl_n, fold_horner) plus the precompute mode.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from blaze_tpu.curves import CURVES, Curve
+from blaze_tpu.msm import MSM, MSMConfig
+from blaze_tpu.msm.precompute import precompute_points
+from blaze_tpu.oracle import tiled_msm_instance
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+
+def affine_of(curve, result):
+    got_aff = curve.to_affine(result[None])[0]
+    if np.asarray(curve.is_identity(result[None]))[0]:
+        return None
+    assert np.asarray(curve.on_curve(result[None]))[0], "off curve!"
+    return (curve.fq.to_int(got_aff[0]), curve.fq.to_int(got_aff[1]))
+
+
+fails = 0
+for curve_name in ("bls12_381", "bn254"):
+    spec = CURVES[curve_name]
+    curve = Curve(spec)
+    for n, c in ((64, 4), (256, 8), (1024, 15)):
+        msm = MSM(curve, MSMConfig(fused="on"))
+        points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=n + c)
+        pts = curve.fq.to_mont(jnp.asarray(points))
+        out = msm(pts, jnp.asarray(scalars), window_bits=c)
+        got = affine_of(curve, out)
+        ok = got == exp_aff
+        print(f"{curve_name} n={n} c={c}: {'OK' if ok else 'FAIL'}", flush=True)
+        fails += not ok
+
+# precompute mode (factor 8) on the fused path
+spec = CURVES["bls12_381"]
+curve = Curve(spec)
+msm = MSM(curve, MSMConfig(fused="on"))
+n = 128
+points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=99)
+pts = curve.fq.to_mont(jnp.asarray(points))
+exp_pts = precompute_points(curve, pts, 8)
+out = msm.msm_precomputed(exp_pts, jnp.asarray(scalars), 8)
+got = affine_of(curve, out)
+ok = got == exp_aff
+print(f"bls12_381 precompute8 n={n}: {'OK' if ok else 'FAIL'}", flush=True)
+fails += not ok
+
+print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)
