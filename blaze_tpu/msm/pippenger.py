@@ -340,11 +340,18 @@ class MSM:
         f = self.curve.fq
         return f._cond_sub_p(x, jnp.zeros(x.shape[:-1], jnp.uint32))
 
-    def _fused_reduce_rows(self, pts, kern):
-        """EC sum over axis -3 of (..., M, 3, L) -> (..., 3, L).
+    def _ident_col_lm(self):
+        """(3L, 1) lanes-major identity column (u32)."""
+        return self.curve.identity().reshape(-1, 1)
 
-        Rearranges into reduce_cols lanes (identity-padded), one Pallas
-        reduction to R2 lane totals, then a small XLA-path tree fold."""
+    def _fused_reduce_rows(self, pts, kern):
+        """EC sum over axis -3 of (..., M, 3, L) -> (..., 3, L), < 2p.
+
+        Accepts u16 or u32 rows in the kernels' lazy < 2p range.  One big
+        reduce_cols pass to R2 lane totals, then further reduce_cols
+        rounds in lanes-major layout down to one point per lead entry
+        (tiny arrays; every round is a handful of fused grid steps — the
+        XLA-path tree fold this replaces cost ~85us per sequential op)."""
         cv = self.curve
         *lead, M, _, L = pts.shape
         G = int(np.prod(lead)) if lead else 1
@@ -353,19 +360,56 @@ class MSM:
         C2 = -(-M // R2)
         pad = R2 * C2 - M
         if pad:
-            ident = jnp.broadcast_to(cv.identity(), (G, pad, 3, L))
+            ident = jnp.broadcast_to(
+                cv.identity().astype(flat.dtype), (G, pad, 3, L)
+            )
             flat = jnp.concatenate([flat, ident], axis=1)
         # (G, R2, C2, 3L) -> rows (C2, 3L, G*R2)
         r4 = flat.reshape(G, R2, C2, 3 * L)
         rows = jnp.moveaxis(jnp.moveaxis(r4, 2, 0), -1, 1)
         rows = rows.reshape(C2, 3 * L, G * R2)
         tot = kern.reduce_cols(rows.astype(jnp.uint16))    # (3L, G*R2)
-        # tot (3L, G*R2) -> (G, R2, 3, L); canonicalize out of lazy range
-        lanes = self._canon(
-            jnp.moveaxis(tot.reshape(3, L, G, R2), (0, 1), (2, 3))
-        )
-        out = self._tree_reduce(jnp.moveaxis(lanes, 1, 0))  # (G, 3, L)
+        R = R2
+        while R > 1:
+            R3 = _ceil_pow2(int(math.sqrt(R))) if R > 4 else 1
+            C3 = R // R3
+            # lanes g*R + (r3*C3 + c3) -> rows (C3, 3L, G*R3)
+            r4 = tot.reshape(3 * L, G, R3, C3)
+            rows = jnp.moveaxis(r4, 3, 0).reshape(C3, 3 * L, G * R3)
+            tot = kern.reduce_cols(rows.astype(jnp.uint16))
+            R = R3
+        # (3L, G) -> (G, 3, L); canonicalize out of the lazy range
+        out = self._canon(jnp.moveaxis(tot.reshape(3, L, G), -1, 0))
         return out.reshape(*lead, 3, L) if lead else out[0]
+
+    def _ks_lane_prefix(self, tot_lm, G: int, R: int, kern):
+        """Exclusive EC prefix over the R lanes of each window.
+
+        tot_lm: (3L, G*R) u32 lane totals (< 2p), lane index g*R + r.
+        Returns (R, G, 3, L) u16 exclusive prefixes (< 2p).  Kogge-Stone
+        doubling on the fused add kernel: log2(R) batched kernel calls
+        instead of R sequential XLA-level group ops."""
+        L = self.curve.nlimbs
+        threeL = 3 * L
+        ident = jnp.broadcast_to(
+            self._ident_col_lm()[:, :, None], (threeL, G, 1)
+        )
+        x = tot_lm.reshape(threeL, G, R)
+        d = 1
+        while d < R:
+            idc = jnp.broadcast_to(
+                self._ident_col_lm()[:, :, None], (threeL, G, d)
+            )
+            shifted = jnp.concatenate([idc, x[:, :, :-d]], axis=2)
+            x = kern.add(
+                x.reshape(threeL, G * R), shifted.reshape(threeL, G * R)
+            ).reshape(threeL, G, R)
+            d *= 2
+        excl = jnp.concatenate([ident, x[:, :, :-1]], axis=2)
+        # (3L, G, R) -> (R, G, 3, L) u16 (limbs < 2^16; halves gather IO)
+        return jnp.moveaxis(
+            excl.reshape(3, L, G, R), (0, 1), (2, 3)
+        ).transpose(1, 0, 2, 3).astype(jnp.uint16)
 
     def _fused_chunk(self, pts, scalars, c: int, scalar_bits=None):
         """Per-window sums (nwin, 3, L) for one chunk, fused-kernel path.
@@ -388,30 +432,26 @@ class MSM:
         sp = jnp.take(pts16, order, axis=0)                # (G, N, 2L) u16
 
         # bucket boundaries e_j = #(digit <= j) - 1, via an MXU histogram:
-        # one-hot(hi byte)^T @ one-hot(lo byte) counts every (hi, lo) digit
-        # pair in one bf16 matmul (exact: counts < 2^24 in f32), then a
+        # one-hot(hi bits)^T @ one-hot(lo bits) counts every (hi, lo)
+        # digit pair in one int8 batched matmul (exact in i32), then a
         # cumsum.  Replaces vmapped searchsorted, whose 2^c binary-search
-        # gathers per window dominated whole-MSM time.
+        # gathers per window dominated whole-MSM time; int8 + a single
+        # batched dot keeps one-hot HBM traffic and dispatches minimal.
         lo_bits = min(c, 8)
         lo_n = 1 << lo_bits
         hi_n = max(B >> lo_bits, 1)
-
-        def hist_one(d):
-            dh = (d >> lo_bits).astype(jnp.int32)
-            dl = (d & (lo_n - 1)).astype(jnp.int32)
-            A = (dh[:, None] == jnp.arange(hi_n, dtype=jnp.int32)).astype(
-                jnp.bfloat16
-            )
-            Bm = (dl[:, None] == jnp.arange(lo_n, dtype=jnp.int32)).astype(
-                jnp.bfloat16
-            )
-            h = jax.lax.dot_general(
-                A, Bm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (hi_n, lo_n)
-            return h.reshape(B).astype(jnp.int32)
-
-        hist = jax.lax.map(hist_one, digits)               # (G, B)
+        dh = (digits >> lo_bits).astype(jnp.int32)
+        dl = (digits & (lo_n - 1)).astype(jnp.int32)
+        A = (dh[..., None] == jnp.arange(hi_n, dtype=jnp.int32)).astype(
+            jnp.int8
+        )                                                  # (G, N, hi)
+        Bm = (dl[..., None] == jnp.arange(lo_n, dtype=jnp.int32)).astype(
+            jnp.int8
+        )                                                  # (G, N, lo)
+        hist = jax.lax.dot_general(
+            A, Bm, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).reshape(G, B)                                    # (G, hi*lo)
         bounds = jnp.cumsum(hist, axis=-1) - 1             # (G, B)
 
         R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
@@ -427,16 +467,8 @@ class MSM:
 
         emitted, tot = kern.scan_mixed(rows)   # (C, 3L, GR) u16, (3L, GR) u32
 
-        # lane-carry exclusive prefix per window (small: R lanes)
-        lane_tot = self._canon(
-            jnp.moveaxis(tot.reshape(3, L, G, R), (0, 1), (2, 3))
-        )
-        lane_tot = jnp.moveaxis(lane_tot, 1, 0)            # (R, G, 3, L)
-        lane_prefix = self._proj_scan(lane_tot)
-        ident = cv.identity()
-        excl = jnp.concatenate(
-            [jnp.broadcast_to(ident, (1, G, 3, L)), lane_prefix[:-1]], axis=0
-        )
+        # lane-carry exclusive prefix per window, via fused Kogge-Stone
+        excl16 = self._ks_lane_prefix(tot, G, R, kern)     # (R, G, 3, L) u16
 
         safe = jnp.maximum(bounds, 0)                      # (G, B)
         lane_idx = safe // C
@@ -444,18 +476,25 @@ class MSM:
         gidx = jnp.arange(G, dtype=jnp.int32)[:, None]
         flat_lane = gidx * R + lane_idx                    # (G, B)
         local16 = emitted[col_idx, :, flat_lane]           # (G, B, 3L) u16
-        local = self._canon(
-            local16.reshape(G, B, 3, L).astype(jnp.uint32)
+        local16 = local16.reshape(G, B, 3, L)
+        carry16 = excl16[lane_idx, gidx]                   # (G, B, 3, L) u16
+
+        # Everything stays u16 in the lazy < 2p range: the downstream
+        # fused reduction accepts it directly, so no canonicalization or
+        # u32 conversion ever touches the big (G, B, 3, L) arrays.
+        valid = bounds[..., None, None] >= 0
+        ident16 = jnp.broadcast_to(
+            cv.identity().astype(jnp.uint16), local16.shape
         )
-        carry_g = excl[lane_idx, gidx]                     # (G, B, 3, L)
+        local16 = jnp.where(valid, local16, ident16)
+        carry16 = jnp.where(valid, carry16, ident16)
 
-        valid = bounds >= 0
-        identb = jnp.broadcast_to(ident, local.shape)
-        local = cv.select(valid, local, identb)
-        carry_g = cv.select(valid, carry_g, identb)
-
-        # ---- bucket phase (Abel summation), fused reduction
-        total = cv.add(carry_g[:, B - 1], local[:, B - 1])  # (G, 3, L)
+        # ---- bucket phase (Abel summation), fused reduction.  Only the
+        # two B-1 column slices enter XLA-path group ops -> canon them.
+        total = cv.add(
+            self._canon(carry16[:, B - 1].astype(jnp.uint32)),
+            self._canon(local16[:, B - 1].astype(jnp.uint32)),
+        )                                                  # (G, 3, L)
 
         # 2^c * T: c doublings in ONE kernel (in-graph XLA-level group ops
         # cost ~85 us/link; the chained kernel is ~us/link)
@@ -467,8 +506,8 @@ class MSM:
         acc = cv.add(shifted, cv.neg(total))               # (B-1) * T
         if B > 1:
             rest = jnp.concatenate(
-                [carry_g[:, : B - 1], local[:, : B - 1]], axis=1
-            )                                              # (G, 2B-2, 3, L)
+                [carry16[:, : B - 1], local16[:, : B - 1]], axis=1
+            )                                              # (G, 2B-2, 3, L) u16
             partial = self._fused_reduce_rows(rest, kern)  # (G, 3, L)
             acc = cv.add(acc, cv.neg(partial))
         return acc
