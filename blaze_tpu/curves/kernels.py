@@ -74,8 +74,28 @@ class ECKernels:
 
         self._p2_ints = [int(v) for v in int_to_limbs(2 * fq.p, self.L)]
         b3 = (3 * spec.b) % fq.p
-        self._b3_ints = [int(v) for v in int_to_limbs((b3 * fq.r) % fq.p, self.L)]
+        b3_mont = (b3 * fq.r) % fq.p
+        self._b3_ints = [int(v) for v in int_to_limbs(b3_mont, self.L)]
         self._one_ints = [int(v) for v in np.asarray(fq.one_mont_limbs)]
+
+        # Constant-multiplier byte-conv matrix for b3 (deinterleaved
+        # lo/hi rows like MXUMont's REDC matrices): column j of b3*x =
+        # sum_i b3_byte[j-i] * x_byte[i] — so the whole limb convolution
+        # of a CONSTANT multiplier is one bf16 matmul (entries <= 255,
+        # <= 2L products of <= 255^2: exact in f32) instead of L
+        # VPU mul+shift+add rounds.
+        nb = 2 * self.L
+        kb = [(b3_mont >> (8 * i)) & 0xFF for i in range(nb)]
+        mb = np.zeros((2 * nb, nb), dtype=np.float32)
+        for j in range(2 * nb - 1):
+            for i in range(max(0, j - nb + 1), min(nb, j + 1)):
+                mb[j, i] = kb[j - i]
+        # rows deinterleaved (even byte cols block, odd block) for the
+        # contiguous 16-bit reconstruction; columns permuted to the
+        # kernel's [limb lo bytes; limb hi bytes] input layout.
+        mb = np.concatenate([mb[0::2], mb[1::2]], axis=0)
+        col_perm = list(range(0, nb, 2)) + list(range(1, nb, 2))
+        self._b3m_host = mb[:, col_perm]
 
     # ------------------------------------------------- in-kernel field ops
     #
@@ -151,17 +171,10 @@ class ECKernels:
         sub, borrow = self._ks_borrow_sub(limbs, pcol)
         return jnp.where(borrow == 0, sub, limbs)
 
-    def _mont_mul(self, a, b, mnp, mp):
-        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
-        same math as fields/mxu.py MXUMont._kernel)."""
-        L, W = self.L, self.W
-        T = a.shape[1]
-        acc = jnp.zeros((W, T), jnp.uint32)
-        for i in range(L):
-            prod = a * b[i : i + 1]
-            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
-            acc = acc + jnp.pad(prod >> LIMB_BITS,
-                                ((i + 1, W - i - 1 - L), (0, 0)))
+    def _redc(self, acc, mnp, mp):
+        """Montgomery reduction of lazy product columns acc (W, T) u32
+        (16-bit stride, any values) -> limbs (L, T) < 2p."""
+        L = self.L
         t8 = jnp.concatenate(
             [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
         ).astype(jnp.int32).astype(jnp.bfloat16)
@@ -181,6 +194,34 @@ class ECKernels:
         # conditional subtraction.
         limbs, _ = self._ks_carry(u[L : 2 * L], carry_in=c1)
         return limbs
+
+    def _mont_mul(self, a, b, mnp, mp):
+        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
+        same math as fields/mxu.py MXUMont._kernel)."""
+        L, W = self.L, self.W
+        T = a.shape[1]
+        acc = jnp.zeros((W, T), jnp.uint32)
+        for i in range(L):
+            prod = a * b[i : i + 1]
+            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
+            acc = acc + jnp.pad(prod >> LIMB_BITS,
+                                ((i + 1, W - i - 1 - L), (0, 0)))
+        return self._redc(acc, mnp, mp)
+
+    def _b3_mul(self, x, b3m, mnp, mp):
+        """b3 * x (Montgomery) for (L, T) batches: the constant-side limb
+        convolution runs as ONE bf16 matmul against the precomputed byte
+        matrix instead of L VPU rounds, then the standard REDC."""
+        L, W = self.L, self.W
+        x8 = jnp.concatenate([x & 0xFF, x >> 8], axis=0).astype(
+            jnp.int32).astype(jnp.bfloat16)                  # (2L bytes, T)
+        v = jnp.dot(b3m, x8, preferred_element_type=jnp.float32)
+        vc = v.astype(jnp.int32).astype(jnp.uint32)          # (4L, T)
+        nb = 2 * L
+        w16 = vc[:nb] + (vc[nb:] << 8)                       # (2L, T) <2^31
+        carried, over = self._ks_carry(w16)
+        acc = jnp.concatenate([carried, over], axis=0)       # (W, T)
+        return self._redc(acc, mnp, mp)
 
     def _add_f(self, a, b):
         """a + b under the < 2p lazy invariant (sum < 4p fits 16L bits)."""
@@ -230,10 +271,14 @@ class ECKernels:
         r = self._sub_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
         return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
 
-    def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, mnp, mp):
-        """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls in 3 waves."""
-        b3 = self._b3_col(X1.shape[1])
+    def _b3_wave(self, xs, b3m, mnp, mp):
+        T = xs[0].shape[1]
+        r = self._b3_mul(jnp.concatenate(xs, axis=1), b3m, mnp, mp)
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
 
+    def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, mnp, mp, b3m):
+        """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls in 3 waves (the two
+        b3 muls ride the constant-matrix matmul path)."""
         s0, s1 = self._add_wave([X1, X2], [Y1, Y2])
         m0, m1, m2, m3, m4 = self._mm_wave(
             [X1, Y1, s0, Y2, X2], [X2, Y2, s1, Z1, Z1], mnp, mp
@@ -243,7 +288,7 @@ class ECKernels:
         )                                    # m0+m1, Y1+Y2Z1, X1+X2Z1, 2m0
         t3 = self._sub_f(m2, d0)             # X1Y2 + X2Y1
         t0 = self._add_f(d3, m0)             # 3 X1X2
-        w0, w1 = self._mm_wave([b3, b3], [Z1, u2], mnp, mp)
+        w0, w1 = self._b3_wave([Z1, u2], b3m, mnp, mp)
         z3 = self._add_f(m1, w0)
         t1 = self._sub_f(m1, w0)
         r0, r1, r2, r3, r4, r5 = self._mm_wave(
@@ -253,10 +298,8 @@ class ECKernels:
         Y3, Z3 = self._add_wave([r2, r4], [r3, r5])
         return X3, Y3, Z3
 
-    def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, mnp, mp):
+    def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, mnp, mp, b3m):
         """RCB 2016 alg 7 (a=0). 12 muls in 3 waves; complete."""
-        b3 = self._b3_col(X1.shape[1])
-
         sa = self._add_wave([X1, X2, Y1, Y2, X1, X2], [Y1, Y2, Z1, Z2, Z1, Z2])
         m0, m1, m2, m3, m4, m5 = self._mm_wave(
             [X1, Y1, Z1, sa[0], sa[2], sa[4]],
@@ -265,7 +308,7 @@ class ECKernels:
         u = self._add_wave([m0, m1, m0, m0], [m1, m2, m2, m0])
         t3, t4, t5 = self._sub_wave([m3, m4, m5], [u[0], u[1], u[2]])
         t0 = self._add_f(u[3], m0)           # 3 X1X2
-        w0, w1 = self._mm_wave([b3, b3], [m2, t5], mnp, mp)
+        w0, w1 = self._b3_wave([m2, t5], b3m, mnp, mp)
         z3 = self._add_f(m1, w0)
         t1 = self._sub_f(m1, w0)
         r0, r1, r2, r3, r4, r5 = self._mm_wave(
@@ -294,7 +337,8 @@ class ECKernels:
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, row_ref, emit_ref, tot_ref, carry_scr):
+        def kernel(mnp_ref, mp_ref, b3m_ref, row_ref, emit_ref, tot_ref,
+                   carry_scr):
             c = pl.program_id(1)
 
             @pl.when(c == 0)
@@ -307,7 +351,7 @@ class ECKernels:
             row = row_ref[0].astype(jnp.uint32)
             X3, Y3, Z3 = self._add_mixed_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
-                row[:L], row[L:], mnp_ref[:], mp_ref[:],
+                row[:L], row[L:], mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
             carry_scr[:] = nxt
@@ -322,6 +366,8 @@ class ECKernels:
             grid=(Bp // T, C),
             in_specs=[
                 pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -365,7 +411,8 @@ class ECKernels:
 
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        emitted, tot = self._scan_fn(C, Bp)(mnp, mp, rows)
+        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
+        emitted, tot = self._scan_fn(C, Bp)(mnp, mp, b3m, rows)
         if npad:
             emitted = emitted[..., :B]
             tot = tot[..., :B]
@@ -382,7 +429,7 @@ class ECKernels:
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, row_ref, tot_ref, carry_scr):
+        def kernel(mnp_ref, mp_ref, b3m_ref, row_ref, tot_ref, carry_scr):
             c = pl.program_id(1)
 
             @pl.when(c == 0)
@@ -396,7 +443,7 @@ class ECKernels:
             X3, Y3, Z3 = self._add_full_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
                 row[:L], row[L : 2 * L], row[2 * L :],
-                mnp_ref[:], mp_ref[:],
+                mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
             carry_scr[:] = nxt
@@ -410,6 +457,8 @@ class ECKernels:
             grid=(Bp // T, C),
             in_specs=[
                 pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -449,7 +498,8 @@ class ECKernels:
         rows = rows.astype(jnp.uint16)
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        tot = self._reduce_fn(C, Bp)(mnp, mp, rows)
+        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
+        tot = self._reduce_fn(C, Bp)(mnp, mp, b3m, rows)
         return tot[..., :B] if npad else tot
 
     # ------------------------------------------------- sequential chains
@@ -481,7 +531,7 @@ class ECKernels:
             ).astype(jnp.uint32)
             return jnp.broadcast_to(col, ws.shape)
 
-        def kernel(mnp_ref, mp_ref, ws_ref, o_ref, acc_scr):
+        def kernel(mnp_ref, mp_ref, b3m_ref, ws_ref, o_ref, acc_scr):
             s = pl.program_id(0)
             ws = ws_ref[:]
 
@@ -498,7 +548,7 @@ class ECKernels:
             q = jnp.where(add_w, lane_pick(ws, Wn - 2 - r), acc)
             X3, Y3, Z3 = self._add_full_body(
                 X, Y, Z, q[:L], q[L : 2 * L], q[2 * L :],
-                mnp_ref[:], mp_ref[:],
+                mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
@@ -511,6 +561,8 @@ class ECKernels:
             grid=(steps,),
             in_specs=[
                 pl.BlockSpec((2 * L, 3 * self.W), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda s: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda s: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -538,7 +590,8 @@ class ECKernels:
         ws = jnp.pad(wsums_lm, ((0, 0), (0, 128 - Wn)))
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        out = self._fold_fn(c, Wn)(mnp, mp, ws)
+        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
+        out = self._fold_fn(c, Wn)(mnp, mp, b3m, ws)
         return out[:, 0]
 
     def _dbl_fn(self, k: int, Bp: int):
@@ -551,7 +604,7 @@ class ECKernels:
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, p_ref, o_ref, acc_scr):
+        def kernel(mnp_ref, mp_ref, b3m_ref, p_ref, o_ref, acc_scr):
             s = pl.program_id(1)
 
             @pl.when(s == 0)
@@ -562,7 +615,7 @@ class ECKernels:
             X3, Y3, Z3 = self._add_full_body(
                 a[:L], a[L : 2 * L], a[2 * L :],
                 a[:L], a[L : 2 * L], a[2 * L :],
-                mnp_ref[:], mp_ref[:],
+                mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
@@ -575,6 +628,8 @@ class ECKernels:
             grid=(Bp // T, k),
             in_specs=[
                 pl.BlockSpec((2 * L, 3 * W), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, s: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda i, s: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -601,7 +656,8 @@ class ECKernels:
             pts_lm = jnp.pad(pts_lm, ((0, 0), (0, npad)))
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        out = self._dbl_fn(k, B + npad)(mnp, mp, pts_lm)
+        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
+        out = self._dbl_fn(k, B + npad)(mnp, mp, b3m, pts_lm)
         return out[:, :B] if npad else out
 
     # --------------------------------------------------- batched full add
@@ -615,13 +671,13 @@ class ECKernels:
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, p_ref, q_ref, o_ref):
+        def kernel(mnp_ref, mp_ref, b3m_ref, p_ref, q_ref, o_ref):
             a = p_ref[:]
             b = q_ref[:]
             X3, Y3, Z3 = self._add_full_body(
                 a[:L], a[L : 2 * L], a[2 * L :],
                 b[:L], b[L : 2 * L], b[2 * L :],
-                mnp_ref[:], mp_ref[:],
+                mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             o_ref[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
@@ -630,6 +686,8 @@ class ECKernels:
             grid=(Bp // T,),
             in_specs=[
                 pl.BlockSpec((2 * L, 3 * W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -659,5 +717,6 @@ class ECKernels:
         Bp = B + npad
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        out = self._add_fn(Bp)(mnp, mp, p, q)
+        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
+        out = self._add_fn(Bp)(mnp, mp, b3m, p, q)
         return out[..., :B] if npad else out
