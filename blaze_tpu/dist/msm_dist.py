@@ -76,4 +76,11 @@ class DistributedMSM:
         sharding = NamedSharding(self.mesh, P(self.axis))
         pts = jax.device_put(points_aff_mont, sharding)
         scal = jax.device_put(scalars, sharding)
+        from ..fields.mxu import portable_only
+
+        if self.mesh.devices.flat[0].platform != "tpu":
+            # trace-time kernel gating must match the mesh's platform, not
+            # the default backend (virtual CPU meshes under a TPU default)
+            with portable_only():
+                return self._run(pts, scal, c)
         return self._run(pts, scal, c)

@@ -112,16 +112,26 @@ class DistributedNTT:
         )
         return fn(x, tw)
 
+    def _run_for_mesh(self, x, inverse: bool):
+        """Trace with kernel gating matched to the mesh's platform (not the
+        default backend — virtual CPU meshes under a TPU default)."""
+        from ..fields.mxu import portable_only
+
+        if self.mesh.devices.flat[0].platform != "tpu":
+            with portable_only():
+                return self._run(x, inverse)
+        return self._run(x, inverse)
+
     # ------------------------------------------------------------- public
     def ntt(self, x):
         """x: (n, L) Montgomery, natural order -> spectral (n1-major
         (k1, k2) matrix, k1-sharded): X[k1 + n1*k2] = out[k1, k2]."""
         a = x.reshape(self.n1, self.n2, -1)
-        return self._run(a, False)
+        return self._run_for_mesh(a, False)
 
     def intt(self, xk):
         """Inverse of ntt(): takes the (n1, n2) k-matrix, returns (n, L)."""
-        a = self._run(xk, True)
+        a = self._run_for_mesh(xk, True)
         return a.reshape(self.n1 * self.n2, -1)
 
     def spectral_to_natural(self, xk):

@@ -31,13 +31,40 @@ from .spec import LIMB_BITS, LIMB_MASK, FieldSpec
 __all__ = ["mxu_available", "mont_mul_mxu", "MXUMont"]
 
 
+_PORTABLE_ONLY = 0  # >0: force the XLA-portable path (no Pallas kernels)
+
+
+class portable_only:
+    """Context manager disabling the fused Pallas kernels while tracing.
+
+    Needed when a computation targets devices that differ from the default
+    backend — e.g. a virtual CPU mesh for sharding dry-runs while the
+    default platform is a TPU: kernel availability is decided at *trace*
+    time from the default backend, but lowering happens for the mesh's
+    platform, where Pallas TPU kernels would fail."""
+
+    def __enter__(self):
+        global _PORTABLE_ONLY
+        _PORTABLE_ONLY += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _PORTABLE_ONLY
+        _PORTABLE_ONLY -= 1
+        return False
+
+
 @functools.cache
-def mxu_available() -> bool:
-    """True when the default backend lowers Pallas TPU kernels."""
+def _default_backend_is_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def mxu_available() -> bool:
+    """True when the current trace may lower Pallas TPU kernels."""
+    return not _PORTABLE_ONLY and _default_backend_is_tpu()
 
 
 def _bytes_of_int(x: int, n: int) -> np.ndarray:
