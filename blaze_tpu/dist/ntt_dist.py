@@ -46,18 +46,53 @@ class DistributedNTT:
         self.plan1 = NTTPlan(spec, self.logn1)
         self.plan2 = NTTPlan(spec, self.logn2)
         w = spec.root_of_unity(logn)
-        self._tw = self._twiddle_matrix(w)          # (n1, n2, L) u16 device
+        self._tw = self._twiddle_matrix(w)          # (n1, n2, L) u16 sharded
         self._tw_inv = self._twiddle_matrix(pow(w, -1, spec.p))
 
     def _twiddle_matrix(self, w):
-        """W^(i*j), Montgomery, uint16-compressed, generated on device
-        (log-doubling batched muls — see fields.mont.Field.power_matrix)."""
-        p, L = self.spec.p, self.spec.nlimbs
-        mont = jnp.asarray(int_to_limbs((w * self.spec.r) % p, L))
-        bases = self.field.powers(mont, self.n1)
-        from ..fields.mont import Field as _F
+        """W^(i*j), Montgomery, uint16-compressed, generated SHARDED.
 
-        return _F.compress(self.field.power_matrix(bases, self.n2))
+        The matrix is the working set that breaks single-device generation
+        at 2^27 (~6.4 GiB compressed): each device builds only its own
+        (n1, n2/D) column block in-place via
+            W^(i*(j_off+j)) = (W^(j_off))^i * (W^i)^j
+        — a per-device shift column (log-doubling powers of the host-
+        computed W^(j_off)) times the replicated base power matrix.  No
+        twiddle bytes ever cross devices.
+        """
+        p, L = self.spec.p, self.spec.nlimbs
+        D = self.ndev
+        n2l = self.n2 // D
+        f = self.field
+        mont_w = jnp.asarray(int_to_limbs((w * self.spec.r) % p, L))
+        # per-device W^(d * n2l) in Montgomery form (host bigint pow)
+        wj = np.stack([
+            np.asarray(
+                int_to_limbs((pow(w, d * n2l, p) * self.spec.r) % p, L),
+                dtype=np.uint32,
+            )
+            for d in range(D)
+        ])
+
+        def local(wj_l):                             # (1, L) this device's W^(j_off)
+            bases = f.powers(mont_w, self.n1)        # (n1, L) replicated compute
+            shift = f.powers(wj_l[0], self.n1)       # (n1, L) = (W^(j_off))^i
+            pm = f.power_matrix(bases, n2l)          # (n1, n2/D, L)
+            return Field.compress(f.mul(pm, shift[:, None, :]))
+
+        gen = jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(P(self.axis),),
+            out_specs=P(None, self.axis),
+        ))
+        wj_dev = jax.device_put(
+            jnp.asarray(wj), NamedSharding(self.mesh, P(self.axis))
+        )
+        if self.mesh.devices.flat[0].platform != "tpu":
+            from ..fields.mxu import portable_only
+
+            with portable_only():
+                return gen(wj_dev)
+        return gen(wj_dev)
 
     # ---------------------------------------------------------------- fwd
     def _local_fwd(self, a, tw):
@@ -82,10 +117,12 @@ class DistributedNTT:
     def _run(self, x, inverse: bool):
         f = self.field
         n1, n2, L = self.n1, self.n2, self.spec.nlimbs
-        tw = (self._tw_inv if inverse else self._tw).astype(jnp.uint32)
+        tw = self._tw_inv if inverse else self._tw   # u16, sharded
 
         def fwd_local(a, twl):
-            return self._local_fwd(a, twl)
+            # decompress per-shard so the u32 twiddle temp never exceeds
+            # one device's block
+            return self._local_fwd(a, twl.astype(jnp.uint32))
 
         def inv_local(x_k, twl):
             # x_k: (n1/D, n2, L) k1-sharded spectral data
@@ -93,7 +130,7 @@ class DistributedNTT:
             a = jax.lax.all_to_all(
                 a, self.axis, split_axis=1, concat_axis=0, tiled=True
             )                                        # (n1, n2/D, L) i2-shard
-            a = f.mul(a, twl)
+            a = f.mul(a, twl.astype(jnp.uint32))
             a = jnp.swapaxes(a, 0, 1)
             a = self.plan1._inv(a)
             return jnp.swapaxes(a, 0, 1)             # (n1, n2/D, L)

@@ -117,6 +117,23 @@ class MSM:
             outs.append(d & mask)
         return jnp.stack(outs, axis=0)
 
+    def _digits_lm(self, scalars, c: int, nwin: int):
+        """(Ls, N) lanes-major 16-bit limbs -> (nwin, N) c-bit digits.
+
+        Same math as _digits but limbs on axis 0, so every slice is a
+        full 128-lane row (no 16 -> 128 lane padding of the limb axis)."""
+        padded = jnp.pad(scalars, [(0, 2), (0, 0)])
+        outs = []
+        mask = jnp.uint32((1 << c) - 1)
+        for w in range(nwin):
+            lo_bit = w * c
+            limb, off = divmod(lo_bit, LIMB_BITS)
+            d = padded[limb] >> off
+            if off + c > LIMB_BITS:
+                d = d | (padded[limb + 1] << (LIMB_BITS - off))
+            outs.append(d & mask)
+        return jnp.stack(outs, axis=0)
+
     # ------------------------------------------------- sequential EC scan
     def _proj_scan(self, pts):
         """Inclusive EC prefix sum over axis 0 of (M, ..., 3, L) points.
@@ -414,22 +431,32 @@ class MSM:
     def _fused_chunk(self, pts, scalars, c: int, scalar_bits=None):
         """Per-window sums (nwin, 3, L) for one chunk, fused-kernel path.
 
-        pts: (N, 2, L) u32 affine Montgomery; scalars (N, Ls) u16-limbed.
+        pts: (N, 2, L) u32 affine Montgomery, OR the lanes-major resident
+        layout (2L, N) u16 — points on the 128-lane minor axis, limbs on
+        sublanes.  The lanes-major form tiles with ZERO padding; the
+        points-major form is padded 24 -> 128 lanes by XLA (5.3x HBM
+        expansion — what capped single-chip MSM below 2^24).  scalars:
+        (N, Ls) u32, or (Ls, N) u16 lanes-major.
         """
         from ..curves.kernels import ECKernels
 
         cv = self.curve
         kern = ECKernels.for_curve(cv.spec, tile=self.config.kernel_tile)
         L = cv.nlimbs
-        N = pts.shape[0]
+        lanes_major = pts.ndim == 2
+        N = pts.shape[1] if lanes_major else pts.shape[0]
         B = 1 << c
         nwin = -(-(scalar_bits or cv.spec.fr.bits) // c)
-        digits = self._digits(scalars, c, nwin)            # (G, N)
+        # scalar layout follows the point layout; digit extraction shifts
+        # need uint32 headroom
+        scal = scalars.astype(jnp.uint32)
+        digits = (self._digits_lm(scal, c, nwin) if lanes_major
+                  else self._digits(scal, c, nwin))
         G = nwin
 
         order = jnp.argsort(digits, axis=-1)               # (G, N)
-        pts16 = pts.reshape(N, 2 * L).astype(jnp.uint16)   # affine rows
-        sp = jnp.take(pts16, order, axis=0)                # (G, N, 2L) u16
+        if not lanes_major:
+            pts = pts.reshape(N, 2 * L).astype(jnp.uint16)  # affine rows
 
         # bucket boundaries e_j = #(digit <= j) - 1, via an MXU histogram:
         # one-hot(hi bits)^T @ one-hot(lo bits) counts every (hi, lo)
@@ -440,30 +467,59 @@ class MSM:
         lo_bits = min(c, 8)
         lo_n = 1 << lo_bits
         hi_n = max(B >> lo_bits, 1)
-        dh = (digits >> lo_bits).astype(jnp.int32)
-        dl = (digits & (lo_n - 1)).astype(jnp.int32)
-        A = (dh[..., None] == jnp.arange(hi_n, dtype=jnp.int32)).astype(
-            jnp.int8
-        )                                                  # (G, N, hi)
-        Bm = (dl[..., None] == jnp.arange(lo_n, dtype=jnp.int32)).astype(
-            jnp.int8
-        )                                                  # (G, N, lo)
-        hist = jax.lax.dot_general(
-            A, Bm, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        ).reshape(G, B)                                    # (G, hi*lo)
+        # Slab the one-hot matmuls through a scan accumulator: the full
+        # (G, N, 256) int8 one-hot pair costs ~8.6 GiB at N = 2^20 — the
+        # 2^24 OOM driver.  Per-slab peak is 2 * G * Ns * 256 B.
+        Ns = min(N, 1 << 15)
+        S = -(-N // Ns)
+        dpad = jnp.pad(
+            digits, ((0, 0), (0, S * Ns - N)), constant_values=B
+        )  # pad digit B: its hi one-hot row is all-zero, so it counts nowhere
+        dh = jnp.moveaxis(
+            (dpad >> lo_bits).astype(jnp.int32).reshape(G, S, Ns), 1, 0)
+        dl = jnp.moveaxis(
+            (dpad & (lo_n - 1)).astype(jnp.int32).reshape(G, S, Ns), 1, 0)
+
+        def slab(acc, args):
+            dhs, dls = args                                # (G, Ns)
+            A = (dhs[..., None] == jnp.arange(hi_n, dtype=jnp.int32)).astype(
+                jnp.int8
+            )                                              # (G, Ns, hi)
+            Bm = (dls[..., None] == jnp.arange(lo_n, dtype=jnp.int32)).astype(
+                jnp.int8
+            )                                              # (G, Ns, lo)
+            h = jax.lax.dot_general(
+                A, Bm, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )                                              # (G, hi, lo)
+            return acc + h, None
+
+        hist0 = jnp.zeros((G, hi_n, lo_n), jnp.int32)
+        hist, _ = jax.lax.scan(slab, hist0, (dh, dl))
+        hist = hist.reshape(G, B)
         bounds = jnp.cumsum(hist, axis=-1) - 1             # (G, B)
 
         R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
         R = min(R, N)
         C = -(-N // R)
         pad = R * C - N
-        if pad:
-            last = jnp.broadcast_to(sp[:, -1:], (G, pad, 2 * L))
-            sp = jnp.concatenate([sp, last], axis=1)
-        # (G, R, C, 2L) -> rows (C, 2L, G*R)
-        rows = jnp.moveaxis(sp.reshape(G, R, C, 2 * L), 2, 0)  # (C, G, R, 2L)
-        rows = jnp.moveaxis(rows, -1, 1).reshape(C, 2 * L, G * R)
+        if lanes_major:
+            # gather sorted points along the lane axis: (2L, G, N)
+            sp = jnp.take(pts, order, axis=1)
+            if pad:
+                last = jnp.broadcast_to(sp[:, :, -1:], (2 * L, G, pad))
+                sp = jnp.concatenate([sp, last], axis=2)
+            # (2L, G, R, C) -> rows (C, 2L, G*R); n = r*C + c as below
+            rows = jnp.moveaxis(sp.reshape(2 * L, G, R, C), 3, 0)
+            rows = rows.reshape(C, 2 * L, G * R)
+        else:
+            sp = jnp.take(pts, order, axis=0)              # (G, N, 2L) u16
+            if pad:
+                last = jnp.broadcast_to(sp[:, -1:], (G, pad, 2 * L))
+                sp = jnp.concatenate([sp, last], axis=1)
+            # (G, R, C, 2L) -> rows (C, 2L, G*R)
+            rows = jnp.moveaxis(sp.reshape(G, R, C, 2 * L), 2, 0)  # (C,G,R,2L)
+            rows = jnp.moveaxis(rows, -1, 1).reshape(C, 2 * L, G * R)
 
         emitted, tot = kern.scan_mixed(rows)   # (C, 3L, GR) u16, (3L, GR) u32
 
@@ -638,7 +694,8 @@ class MSM:
         analog, msm_api.rs:156).  `scalar_bits` is for precompute-expanded
         inputs (see `msm_precomputed`).
         """
-        n = points_aff_mont.shape[0]
+        lanes_major = points_aff_mont.ndim == 2     # (2L, N) u16 residency
+        n = points_aff_mont.shape[1 if lanes_major else 0]
         c = window_bits or min(self.config.window_bits, default_window_bits(n))
         nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
         chunk = 1 << self.config.chunk_log2
@@ -651,12 +708,28 @@ class MSM:
             wsums = None
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
+                if lanes_major:
+                    pslice = points_aff_mont[:, lo:hi]
+                    sslice = scalars[:, lo:hi]
+                else:
+                    pslice = points_aff_mont[lo:hi]
+                    sslice = scalars[lo:hi]
                 part = self._msm_fused_jit(
-                    points_aff_mont[lo:hi], scalars[lo:hi], c,
-                    scalar_bits, False,
+                    pslice, sslice, c, scalar_bits, False,
                 )
                 wsums = part if wsums is None else self._add_wsums(wsums, part)
             return self._fold_jit(wsums, c)
+        if lanes_major:
+            raise ValueError(
+                "lanes-major (2L, N) residency needs the fused TPU path"
+            )
+
+        # portable path wants full-width inputs (u16 residency is a
+        # fused-path optimization)
+        if points_aff_mont.dtype == jnp.uint16:
+            points_aff_mont = points_aff_mont.astype(jnp.uint32)
+        if scalars.dtype == jnp.uint16:
+            scalars = scalars.astype(jnp.uint32)
 
         ngroups = -(-nwin // max(1, self.config.group_windows))
         G = -(-nwin // ngroups)
