@@ -63,7 +63,8 @@ def main():
         @jax.jit
         def to_mont_lm(blk):                        # (m, 2, L) u32 canonical
             m = curve.fq.to_mont(blk)
-            return jnp.moveaxis(m, 0, -1).reshape(2 * L, -1).astype(jnp.uint16)
+            a = jnp.moveaxis(m, 0, -1)              # (2, L, m)
+            return a[0] | (a[1] << 16)              # xy-packed (L, m) u32
 
         step = 1 << 20
         parts = [

@@ -327,8 +327,8 @@ class ECKernels:
         # wrapper makes compilation a per-shape one-time cost.
         return {}
 
-    def _scan_fn(self, C: int, Bp: int):
-        key = ("scan", C, Bp)
+    def _scan_fn(self, C: int, Bp: int, packed: bool):
+        key = ("scan", C, Bp, packed)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -348,10 +348,19 @@ class ECKernels:
                 carry_scr[2 * L :] = jnp.zeros((L, T), jnp.uint32)
 
             cur = carry_scr[:]
-            row = row_ref[0].astype(jnp.uint32)
+            if packed:
+                # xy-packed row: u32 limb r = X_r | (Y_r << 16) — unpack is
+                # two mask ops, zero sublane shuffles
+                row = row_ref[0]
+                X2 = row & jnp.uint32(LIMB_MASK)
+                Y2 = row >> LIMB_BITS
+            else:
+                row = row_ref[0].astype(jnp.uint32)
+                X2 = row[:L]
+                Y2 = row[L:]
             X3, Y3, Z3 = self._add_mixed_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
-                row[:L], row[L:], mnp_ref[:], mp_ref[:], b3m_ref[:],
+                X2, Y2, mnp_ref[:], mp_ref[:], b3m_ref[:],
             )
             nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
             carry_scr[:] = nxt
@@ -361,6 +370,8 @@ class ECKernels:
             def _fin():
                 tot_ref[:] = nxt
 
+        in_rows = L if packed else 2 * L
+        in_dtype = jnp.uint32 if packed else jnp.uint16
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T, C),
@@ -371,7 +382,7 @@ class ECKernels:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * L, T), lambda i, c: (c, 0, i),
+                pl.BlockSpec((1, in_rows, T), lambda i, c: (c, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -393,26 +404,28 @@ class ECKernels:
     def scan_mixed(self, rows):
         """Sequential inclusive EC prefix scan of sorted affine points.
 
-        rows: (C, 2L, B) uint16/uint32 — C steps of B-lane affine batches.
-        Returns (emitted, lane_tot): emitted (C, 3L, B) uint16 inclusive
-        prefixes; lane_tot (3L, B) uint32 final carries.
+        rows: (C, L, B) uint32 xy-packed (limb r = X_r | Y_r << 16), or
+        (C, 2L, B) uint16/uint32 split-limb.  Returns (emitted, lane_tot):
+        emitted (C, 3L, B) uint16 inclusive prefixes; lane_tot (3L, B)
+        uint32 final carries.
 
         One pallas_call: grid (B/tile, C); the per-lane running sum lives
         in VMEM scratch across the C inner grid steps (revisited blocks)."""
-        C, twoL, B = rows.shape
+        C, nrows, B = rows.shape
         L = self.L
         T = self.tile
-        assert twoL == 2 * L
+        packed = nrows == L
+        assert packed or nrows == 2 * L
         npad = -B % T
         if npad:
             rows = jnp.pad(rows, ((0, 0), (0, 0), (0, npad)))
         Bp = B + npad
-        rows = rows.astype(jnp.uint16)
+        rows = rows.astype(jnp.uint32 if packed else jnp.uint16)
 
         mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
         mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
         b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        emitted, tot = self._scan_fn(C, Bp)(mnp, mp, b3m, rows)
+        emitted, tot = self._scan_fn(C, Bp, packed)(mnp, mp, b3m, rows)
         if npad:
             emitted = emitted[..., :B]
             tot = tot[..., :B]

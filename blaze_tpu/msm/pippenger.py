@@ -504,14 +504,20 @@ class MSM:
         C = -(-N // R)
         pad = R * C - N
         if lanes_major:
-            # gather sorted points along the lane axis: (2L, G, N)
-            sp = jnp.take(pts, order, axis=1)
+            # xy-pack to u32 (L, N): limb row r = X_r | (Y_r << 16) — the
+            # lane-axis gather cost scales with element count, so packing
+            # halves it (measured 319 -> 189 ms at N=2^20), and the scan
+            # kernel unpacks with two mask ops in VMEM.
+            if pts.dtype != jnp.uint32:
+                pts = (pts[:L].astype(jnp.uint32)
+                       | (pts[L:].astype(jnp.uint32) << 16))
+            sp = jnp.take(pts, order, axis=1)              # (L, G, N) u32
             if pad:
-                last = jnp.broadcast_to(sp[:, :, -1:], (2 * L, G, pad))
+                last = jnp.broadcast_to(sp[:, :, -1:], (L, G, pad))
                 sp = jnp.concatenate([sp, last], axis=2)
-            # (2L, G, R, C) -> rows (C, 2L, G*R); n = r*C + c as below
-            rows = jnp.moveaxis(sp.reshape(2 * L, G, R, C), 3, 0)
-            rows = rows.reshape(C, 2 * L, G * R)
+            # (L, G, R, C) -> rows (C, L, G*R); n = r*C + c as below
+            rows = jnp.moveaxis(sp.reshape(L, G, R, C), 3, 0)
+            rows = rows.reshape(C, L, G * R)
         else:
             sp = jnp.take(pts, order, axis=0)              # (G, N, 2L) u16
             if pad:

@@ -59,5 +59,27 @@ ok = got == exp_aff
 print(f"bls12_381 precompute8 n={n}: {'OK' if ok else 'FAIL'}", flush=True)
 fails += not ok
 
+# lanes-major xy-packed residency (the bench layout): (L, N) u32 points,
+# (Ls, N) u16 scalars, including the chunked-accumulation path
+for curve_name in ("bls12_381", "bn254"):
+    spec = CURVES[curve_name]
+    curve = Curve(spec)
+    L = spec.fq.nlimbs
+    for n, c, chunk in ((256, 8, 20), (1024, 15, 20), (1024, 8, 8)):
+        msm = MSM(curve, MSMConfig(fused="on", chunk_log2=chunk))
+        points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=n + c)
+        m = curve.fq.to_mont(jnp.asarray(points))
+        a = jnp.moveaxis(m, 0, -1)
+        pts_lm = a[0] | (a[1] << 16)                     # (L, N) u32
+        scal_lm = jnp.asarray(
+            np.ascontiguousarray(np.asarray(scalars).T), dtype=jnp.uint16
+        )
+        out = msm(pts_lm, scal_lm, window_bits=c)
+        got = affine_of(curve, out)
+        ok = got == exp_aff
+        print(f"{curve_name} lanes-major n={n} c={c} chunk=2^{chunk}: "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+        fails += not ok
+
 print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
 sys.exit(1 if fails else 0)
