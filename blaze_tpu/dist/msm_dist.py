@@ -43,10 +43,10 @@ class DistributedMSM:
             d = gathered.shape[0]
         return gathered[0]
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _run(self, points, scalars, c: int):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _run(self, points, scalars, c: int, scalar_bits=None):
         def local(pts, scal):
-            wsums = self.engine.msm_chunk(pts, scal, c)          # (W, 3, L)
+            wsums = self.engine.msm_chunk(pts, scal, c, scalar_bits)
             gathered = jax.lax.all_gather(wsums, self.axis)      # (D, W, 3, L)
             total = self._reduce_wsums(gathered)
             return self.engine.fold_windows(total, c)            # (3, L)
@@ -63,7 +63,8 @@ class DistributedMSM:
         )
         return fn(points, scalars)
 
-    def __call__(self, points_aff_mont, scalars, window_bits: int | None = None):
+    def __call__(self, points_aff_mont, scalars, window_bits: int | None = None,
+                 scalar_bits: int | None = None):
         n = points_aff_mont.shape[0]
         d = self.mesh.shape[self.axis]
         if n % d:
@@ -82,5 +83,5 @@ class DistributedMSM:
             # trace-time kernel gating must match the mesh's platform, not
             # the default backend (virtual CPU meshes under a TPU default)
             with portable_only():
-                return self._run(pts, scal, c)
-        return self._run(pts, scal, c)
+                return self._run(pts, scal, c, scalar_bits)
+        return self._run(pts, scal, c, scalar_bits)
