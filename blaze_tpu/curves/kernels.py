@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.mxu import MXUMont, mxu_available
-from ..fields.spec import LIMB_BITS, LIMB_MASK
+from ..fields.kernel_ops import PallasFieldOps
+from ..fields.mxu import mxu_available
+from ..fields.spec import LIMB_BITS, LIMB_MASK, int_to_limbs
 from .spec import CurveSpec
 
 __all__ = ["ECKernels", "kernels_available"]
@@ -36,8 +37,14 @@ def kernels_available() -> bool:
     return mxu_available()
 
 
-class ECKernels:
-    """Per-curve fused kernels. Cached per CurveSpec."""
+class ECKernels(PallasFieldOps):
+    """Per-curve fused kernels. Cached per CurveSpec.
+
+    In-kernel field arithmetic comes from PallasFieldOps with the lazy
+    < 2p invariant (R > 4p holds for all supported base fields):
+    canonicalize (one cond-sub vs p) only when results leave the kernel
+    (msm/pippenger.py does this on the gathered bucket boundaries and
+    lane totals)."""
 
     _CACHE: dict = {}
 
@@ -51,32 +58,13 @@ class ECKernels:
         return inst
 
     def __init__(self, spec: CurveSpec, tile: int = 512):
+        super().__init__(spec.fq, lazy=True)
         self.spec = spec
         self.tile = tile
-        eng = MXUMont.for_spec(spec.fq)
-        self.L = eng.L
-        self.W = eng.W
-        # REDC byte matrices (output rows deinterleaved lo-block/hi-block
-        # by MXUMont, so 16-bit reconstruction is contiguous slices)
-        self._mnp_host = eng._m_np_host        # (2L, 3W)
-        self._mp_host = eng._m_p_host          # (4L, 2L)
-        self._p_ints = eng._p_ints
         fq = spec.fq
-        # Lazy-reduction invariant: every in-kernel value is < 2p (not < p).
-        # Montgomery mul of x, y < 2p gives (xy + mp)/R < 4p^2/R + p < 2p
-        # whenever R > 4p — true for all supported base fields — so muls
-        # skip their conditional subtraction entirely; adds/subs reduce
-        # against 2p.  Canonicalize (one cond-sub vs p) only when results
-        # leave the kernel (msm/pippenger.py does this on the gathered
-        # bucket boundaries and lane totals).
-        assert fq.r > 4 * fq.p, "lazy REDC bound needs R > 4p"
-        from ..fields.spec import int_to_limbs
-
-        self._p2_ints = [int(v) for v in int_to_limbs(2 * fq.p, self.L)]
         b3 = (3 * spec.b) % fq.p
         b3_mont = (b3 * fq.r) % fq.p
         self._b3_ints = [int(v) for v in int_to_limbs(b3_mont, self.L)]
-        self._one_ints = [int(v) for v in np.asarray(fq.one_mont_limbs)]
 
         # Constant-multiplier byte-conv matrix for b3 (deinterleaved
         # lo/hi rows like MXUMont's REDC matrices): column j of b3*x =
@@ -98,115 +86,7 @@ class ECKernels:
         self._b3m_host = mb[:, col_perm]
 
     # ------------------------------------------------- in-kernel field ops
-    #
-    # Carry/borrow propagation is Kogge-Stone parallel prefix: serial
-    # per-limb ripple chains would be L(=24 for BLS12-381) dependent
-    # (1, T) row ops — 1/8 sublane utilization and latency-bound — while
-    # the prefix form is ~2 folds + log2(L) full-height steps.
-
-    @staticmethod
-    def _shift_down(x, d=1):
-        """Rows j >= d get x[j-d]; top d rows zero.  Full-height op."""
-        return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
-
-    def _ks_carry(self, cols, carry_in=None):
-        """Exact carry normalization of (K, T) u32 16-bit-stride columns.
-
-        Any u32 input values.  Returns (limbs < 2^16, carry_out (1, T)).
-        Two value folds bound rows to <= 2^16, then a Kogge-Stone
-        generate/propagate prefix resolves the remaining 0/1 ripple.
-        """
-        K, T = cols.shape
-        over = jnp.zeros((1, T), jnp.uint32)
-
-        v = cols
-        if carry_in is not None:
-            v = v + jnp.pad(carry_in, ((0, K - 1), (0, 0)))
-        for _ in range(2):  # after two folds every row is <= 2^16
-            hi = v >> LIMB_BITS
-            over = over + hi[K - 1 : K]
-            v = (v & LIMB_MASK) + self._shift_down(hi)
-
-        g = v >> LIMB_BITS                      # 0/1 generate
-        p = jnp.where((v & LIMB_MASK) == LIMB_MASK, jnp.uint32(1),
-                      jnp.uint32(0))            # propagate
-        d = 1
-        while d < K:
-            g = g | (p & self._shift_down(g, d))
-            p = p & self._shift_down(p, d)
-            d *= 2
-        over = over + g[K - 1 : K]
-        out = (v + self._shift_down(g)) & LIMB_MASK
-        return out, over
-
-    def _ks_borrow_sub(self, a, b):
-        """a - b on (L, T) 16-bit limb columns; returns (diff, borrow_out).
-
-        diff is the 2^(16L)-complement result; borrow_out (1, T) is 0/1."""
-        L = self.L
-        v = a + jnp.uint32(LIMB_MASK + 1) - b    # in [1, 2^17)
-        g = (v >> LIMB_BITS) ^ jnp.uint32(1)     # borrow generated: v < 2^16
-        p = jnp.where((v & LIMB_MASK) == 0, jnp.uint32(1), jnp.uint32(0))
-        d = 1
-        while d < L:
-            g = g | (p & self._shift_down(g, d))
-            p = p & self._shift_down(p, d)
-            d *= 2
-        bor_in = self._shift_down(g)
-        out = (v - bor_in) & LIMB_MASK
-        return out, g[L - 1 : L]
-
-    def _cond_sub_p(self, limbs, top):
-        """limbs - p when limbs+top*2^(16L) >= p (single conditional)."""
-        T = limbs.shape[1]
-        pcol = self._const_col(self._p_ints, T)
-        sub, borrow = self._ks_borrow_sub(limbs, pcol)
-        ge = (top > 0) | (borrow == 0)
-        return jnp.where(ge, sub, limbs)
-
-    def _cond_sub_2p(self, limbs):
-        """limbs - 2p when limbs >= 2p (lazy-invariant restore, < 4p in)."""
-        T = limbs.shape[1]
-        pcol = self._const_col(self._p2_ints, T)
-        sub, borrow = self._ks_borrow_sub(limbs, pcol)
-        return jnp.where(borrow == 0, sub, limbs)
-
-    def _redc(self, acc, mnp, mp):
-        """Montgomery reduction of lazy product columns acc (W, T) u32
-        (16-bit stride, any values) -> limbs (L, T) < 2p."""
-        L = self.L
-        t8 = jnp.concatenate(
-            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
-        ).astype(jnp.int32).astype(jnp.bfloat16)
-        m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
-        mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
-        m16 = mc[:L] + (mc[L:] << 8)           # deinterleaved lo/hi blocks
-        m, _ = self._ks_carry(m16)
-        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
-            jnp.int32).astype(jnp.bfloat16)
-        q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
-        qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
-        q16 = qc[: 2 * L] + (qc[2 * L :] << 8)
-        u = acc + jnp.pad(q16, ((0, 1), (0, 0)))
-        _, c1 = self._ks_carry(u[:L])
-        # lazy: inputs < 2p and R > 4p give a result < 2p < 2^(16L), so the
-        # carry out of limb L-1 is the whole story — no top column, no
-        # conditional subtraction.
-        limbs, _ = self._ks_carry(u[L : 2 * L], carry_in=c1)
-        return limbs
-
-    def _mont_mul(self, a, b, mnp, mp):
-        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
-        same math as fields/mxu.py MXUMont._kernel)."""
-        L, W = self.L, self.W
-        T = a.shape[1]
-        acc = jnp.zeros((W, T), jnp.uint32)
-        for i in range(L):
-            prod = a * b[i : i + 1]
-            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
-            acc = acc + jnp.pad(prod >> LIMB_BITS,
-                                ((i + 1, W - i - 1 - L), (0, 0)))
-        return self._redc(acc, mnp, mp)
+    # (generic limb/REDC/add/sub primitives inherited from PallasFieldOps)
 
     def _b3_mul(self, x, b3m, mnp, mp):
         """b3 * x (Montgomery) for (L, T) batches: the constant-side limb
@@ -223,54 +103,15 @@ class ECKernels:
         acc = jnp.concatenate([carried, over], axis=0)       # (W, T)
         return self._redc(acc, mnp, mp)
 
-    def _add_f(self, a, b):
-        """a + b under the < 2p lazy invariant (sum < 4p fits 16L bits)."""
-        limbs, _ = self._ks_carry(a + b)
-        return self._cond_sub_2p(limbs)
-
-    def _sub_f(self, a, b):
-        """a - b mod 2p on (L, T) 16-bit limb batches (lazy invariant)."""
-        T = a.shape[1]
-        d, borrow = self._ks_borrow_sub(a, b)
-        # if borrowed, add 2p back (a - b > -2p, so no re-borrow)
-        pcol = self._const_col(self._p2_ints, T)
-        fixed, _ = self._ks_carry(d + pcol)
-        return jnp.where(borrow > 0, fixed, d)
-
-    def _const_col(self, ints, T):
-        """(L, T) column whose rows are the given per-limb scalars."""
-        return jnp.concatenate(
-            [jnp.full((1, T), jnp.uint32(v)) for v in ints], axis=0
-        )
-
     def _b3_col(self, T):
         return self._const_col(self._b3_ints, T)
 
     # ----------------------------------------------------- group formulas
     #
-    # Wave-batched: each wave's independent Montgomery products run as ONE
-    # wide _mont_mul on lane-concatenated operands.  The REDC matmuls sit
-    # on the MXU while everything else is VPU work; batching a wave turns
-    # 2 MXU<->VPU round-trips *per product* into 2 per wave (measured:
-    # each transition stalls ~0.5 us/tile — the dominant cost of the
-    # unbatched body).
-    def _mm_wave(self, xs, ys, mnp, mp):
-        T = xs[0].shape[1]
-        r = self._mont_mul(
-            jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1), mnp, mp
-        )
-        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
-
-    def _add_wave(self, xs, ys):
-        T = xs[0].shape[1]
-        r = self._add_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
-        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
-
-    def _sub_wave(self, xs, ys):
-        T = xs[0].shape[1]
-        r = self._sub_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
-        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
-
+    # Wave-batched via PallasFieldOps._mm_wave/_add_wave/_sub_wave: each
+    # wave's independent Montgomery products run as ONE wide _mont_mul on
+    # lane-concatenated operands (measured: each MXU<->VPU transition
+    # stalls ~0.5 us/tile — the dominant cost of the unbatched body).
     def _b3_wave(self, xs, b3m, mnp, mp):
         T = xs[0].shape[1]
         r = self._b3_mul(jnp.concatenate(xs, axis=1), b3m, mnp, mp)

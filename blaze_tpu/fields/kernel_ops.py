@@ -1,0 +1,220 @@
+"""In-kernel (Pallas) field arithmetic shared by the fused TPU kernels.
+
+Everything here operates on VALUES already resident in VMEM inside a
+pallas_call body, in "lanes-major" layout: a batch of field elements is a
+(L, T) uint32 array — 16-bit limbs on sublanes, batch on the 128-lane
+minor axis.  Montgomery products run the VPU limb convolution + MXU
+byte-matrix REDC scheme of fields/mxu.py; carry/borrow propagation is
+Kogge-Stone parallel prefix (serial ripple would be L dependent (1, T)
+row ops — 1/8 sublane utilization and latency-bound).
+
+Two reduction disciplines, chosen per instance:
+
+  * lazy=True  — every value is < 2p.  Requires R > 4p (true for the
+    base fields, L = 24/16+pad): Montgomery mul of x, y < 2p gives
+    (xy + mp)/R < 4p^2/R + p < 2p, so muls skip their conditional
+    subtraction; adds/subs reduce against 2p.  Used by the EC kernels
+    (curves/kernels.py), which canonicalize only at kernel exit.
+  * lazy=False — canonical < p invariant.  Works for any R > p (the
+    scalar fields' R = 2^256 is < 4p for the 255-bit moduli, so lazy is
+    unsound there): each mul pays one conditional subtraction, adds
+    reduce against p.  Used by the NTT/Poseidon kernels over Fr.
+
+This is the TPU-native replacement for the reference's opaque FPGA field
+cores (`/root/reference/src/ingo_msm/msm_hw_code.rs` exposes only their
+perf counters).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mxu import MXUMont
+from .spec import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
+
+
+class PallasFieldOps:
+    """Per-FieldSpec in-kernel primitives. Subclass or embed in kernels."""
+
+    def __init__(self, spec: FieldSpec, lazy: bool):
+        self.fspec = spec
+        self.lazy = lazy
+        eng = MXUMont.for_spec(spec)
+        self.L = eng.L
+        self.W = eng.W
+        # REDC byte matrices (output rows deinterleaved lo-block/hi-block
+        # by MXUMont, so 16-bit reconstruction is contiguous slices)
+        self._mnp_host = eng._m_np_host        # (2L, 3W)
+        self._mp_host = eng._m_p_host          # (4L, 2L)
+        self._p_ints = eng._p_ints
+        self._one_ints = [int(v) for v in np.asarray(spec.one_mont_limbs)]
+        if lazy:
+            assert spec.r > 4 * spec.p, "lazy REDC bound needs R > 4p"
+            self._p2_ints = [int(v) for v in int_to_limbs(2 * spec.p, self.L)]
+        else:
+            assert spec.r > spec.p
+            self._p2_ints = None
+
+    # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _shift_down(x, d=1):
+        """Rows j >= d get x[j-d]; top d rows zero.  Full-height op."""
+        return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+
+    def _const_col(self, ints, T):
+        """(len, T) column whose rows are the given per-limb scalars."""
+        return jnp.concatenate(
+            [jnp.full((1, T), jnp.uint32(v)) for v in ints], axis=0
+        )
+
+    def _one_col(self, T):
+        return self._const_col(self._one_ints, T)
+
+    # --------------------------------------------------- carries / borrows
+    def _ks_carry(self, cols, carry_in=None):
+        """Exact carry normalization of (K, T) u32 16-bit-stride columns.
+
+        Any u32 input values.  Returns (limbs < 2^16, carry_out (1, T)).
+        Two value folds bound rows to <= 2^16, then a Kogge-Stone
+        generate/propagate prefix resolves the remaining 0/1 ripple.
+        """
+        K, T = cols.shape
+        over = jnp.zeros((1, T), jnp.uint32)
+
+        v = cols
+        if carry_in is not None:
+            v = v + jnp.pad(carry_in, ((0, K - 1), (0, 0)))
+        for _ in range(2):  # after two folds every row is <= 2^16
+            hi = v >> LIMB_BITS
+            over = over + hi[K - 1 : K]
+            v = (v & LIMB_MASK) + self._shift_down(hi)
+
+        g = v >> LIMB_BITS                      # 0/1 generate
+        p = jnp.where((v & LIMB_MASK) == LIMB_MASK, jnp.uint32(1),
+                      jnp.uint32(0))            # propagate
+        d = 1
+        while d < K:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d *= 2
+        over = over + g[K - 1 : K]
+        out = (v + self._shift_down(g)) & LIMB_MASK
+        return out, over
+
+    def _ks_borrow_sub(self, a, b):
+        """a - b on (L, T) 16-bit limb columns; returns (diff, borrow_out).
+
+        diff is the 2^(16L)-complement result; borrow_out (1, T) is 0/1."""
+        L = self.L
+        v = a + jnp.uint32(LIMB_MASK + 1) - b    # in [1, 2^17)
+        g = (v >> LIMB_BITS) ^ jnp.uint32(1)     # borrow generated: v < 2^16
+        p = jnp.where((v & LIMB_MASK) == 0, jnp.uint32(1), jnp.uint32(0))
+        d = 1
+        while d < L:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d *= 2
+        bor_in = self._shift_down(g)
+        out = (v - bor_in) & LIMB_MASK
+        return out, g[L - 1 : L]
+
+    def _cond_sub_p(self, limbs, top):
+        """limbs - p when limbs+top*2^(16L) >= p (single conditional)."""
+        T = limbs.shape[1]
+        pcol = self._const_col(self._p_ints, T)
+        sub, borrow = self._ks_borrow_sub(limbs, pcol)
+        ge = (top > 0) | (borrow == 0)
+        return jnp.where(ge, sub, limbs)
+
+    def _cond_sub_2p(self, limbs):
+        """limbs - 2p when limbs >= 2p (lazy-invariant restore, < 4p in)."""
+        T = limbs.shape[1]
+        pcol = self._const_col(self._p2_ints, T)
+        sub, borrow = self._ks_borrow_sub(limbs, pcol)
+        return jnp.where(borrow == 0, sub, limbs)
+
+    # -------------------------------------------------------------- REDC
+    def _redc(self, acc, mnp, mp):
+        """Montgomery reduction of lazy product columns acc (W, T) u32
+        (16-bit stride, any values) -> limbs (L, T).
+
+        lazy=True: result < 2p (no subtraction).  lazy=False: result < p
+        (one conditional subtraction against the carry-out)."""
+        L = self.L
+        t8 = jnp.concatenate(
+            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
+        ).astype(jnp.int32).astype(jnp.bfloat16)
+        m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
+        mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
+        m16 = mc[:L] + (mc[L:] << 8)           # deinterleaved lo/hi blocks
+        m, _ = self._ks_carry(m16)
+        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
+            jnp.int32).astype(jnp.bfloat16)
+        q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
+        qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
+        q16 = qc[: 2 * L] + (qc[2 * L :] << 8)
+        u = acc + jnp.pad(q16, ((0, 1), (0, 0)))
+        _, c1 = self._ks_carry(u[:L])
+        if self.lazy:
+            # inputs < 2p and R > 4p give a result < 2p < 2^(16L), so the
+            # carry out of limb L-1 is the whole story — no top column, no
+            # conditional subtraction.
+            limbs, _ = self._ks_carry(u[L : 2 * L], carry_in=c1)
+            return limbs
+        # canonical: result before subtraction is < 2p; one cond-sub.
+        limbs, top = self._ks_carry(u[L : 2 * L], carry_in=c1)
+        top = top + u[2 * L : 2 * L + 1]
+        return self._cond_sub_p(limbs, top)
+
+    def _mont_mul(self, a, b, mnp, mp):
+        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
+        same math as fields/mxu.py MXUMont._kernel)."""
+        L, W = self.L, self.W
+        T = a.shape[1]
+        acc = jnp.zeros((W, T), jnp.uint32)
+        for i in range(L):
+            prod = a * b[i : i + 1]
+            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
+            acc = acc + jnp.pad(prod >> LIMB_BITS,
+                                ((i + 1, W - i - 1 - L), (0, 0)))
+        return self._redc(acc, mnp, mp)
+
+    # ------------------------------------------------------------ add/sub
+    def _add_f(self, a, b):
+        """Field add under the instance's invariant (< 2p or < p)."""
+        limbs, top = self._ks_carry(a + b)
+        if self.lazy:
+            return self._cond_sub_2p(limbs)
+        return self._cond_sub_p(limbs, top)
+
+    def _sub_f(self, a, b):
+        """Field sub on (L, T) 16-bit limb batches."""
+        T = a.shape[1]
+        d, borrow = self._ks_borrow_sub(a, b)
+        # if borrowed, add the modulus back (no re-borrow possible)
+        pcol = self._const_col(self._p2_ints if self.lazy else self._p_ints, T)
+        fixed, _ = self._ks_carry(d + pcol)
+        return jnp.where(borrow > 0, fixed, d)
+
+    # ------------------------------------------------------------- waves
+    # Independent ops of one formula run as ONE wide call on
+    # lane-concatenated operands: the REDC matmuls sit on the MXU while
+    # everything else is VPU work, and batching a wave turns 2 MXU<->VPU
+    # round-trips per product into 2 per wave.
+    def _mm_wave(self, xs, ys, mnp, mp):
+        T = xs[0].shape[1]
+        r = self._mont_mul(
+            jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1), mnp, mp
+        )
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
+
+    def _add_wave(self, xs, ys):
+        T = xs[0].shape[1]
+        r = self._add_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
+
+    def _sub_wave(self, xs, ys):
+        T = xs[0].shape[1]
+        r = self._sub_f(jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1))
+        return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]

@@ -4,13 +4,22 @@ API shape follows the reference's clients 1:1 (init struct -> lifecycle
 methods -> wire-format results), with JAX async dispatch supplying the
 queue/poll machinery the FPGA exposes as registers.
 
+One deliberate lifecycle divergence: the reference queues the task BEFORE
+streaming data (initialize -> start_process -> set_data; the FPGA consumes
+the DMA stream after the task is queued, msm_api.rs:113-220).  Here
+set_data must precede start_process — JAX dispatch captures the operand
+arrays at launch, so "start then stream" has no meaning; start_process
+raises NotReady if no data is staged.
+
 MSM     <- /root/reference/src/ingo_msm/msm_api.rs
 NTT     <- /root/reference/src/ingo_ntt/ntt_api.rs
 Poseidon<- /root/reference/src/ingo_hash/poseidon_api.rs
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
+import logging
 from typing import Optional
 
 import jax
@@ -29,11 +38,27 @@ from ..fields.codec import bytes_to_limbs, limbs_to_bytes
 from ..fields.spec import FieldSpec
 from ..hash.params import PoseidonParams, params_from_csv
 from ..hash.tree import MerkleTreeBuilder, TreeMode, base_layer_size, num_tree_nodes, LEAF_ARITY
-from ..msm import MSM, MSMConfig
+from ..msm import (
+    MSM,
+    MSMConfig,
+    points_from_resident,
+    points_to_resident,
+    scalars_to_resident,
+    split_scalars,
+)
 from ..ntt import make_ntt
 from .device import DeviceContext
 from .primitive import DriverPrimitive, ImageParams, timed
-from ..utils.misc import hard_sync
+from ..utils.errors import DataError, InvalidPrimitiveParam, NotReady
+from ..utils.misc import elide_payload, hard_sync, retry
+
+log = logging.getLogger("blaze_tpu.clients")
+
+
+def _device_put(x, device):
+    """Transfer with the reference's retry semantics (utils.rs:133-147):
+    transient PJRT/tunnel failures get N attempts with a short backoff."""
+    return retry(lambda: jax.device_put(x, device), times=3, sleep_s=0.5)
 
 
 def _resolve_curve(curve) -> Curve:
@@ -88,10 +113,22 @@ class MSMClient(DriverPrimitive):
         self.curve = _resolve_curve(init.curve)
         self.engine = MSM(self.curve, config)
         self._params: Optional[MSMParams] = None
-        self._points = None            # device (N,2,L) Montgomery affine
-        self._scalars = None           # device (N,Ls) canonical limbs
-        self._pending = None           # in-flight result array
+        # Point storage layout depends on the backend: on the fused TPU
+        # path points are held lanes-major xy-packed (L, N) u32 and
+        # scalars (Ls, N) u16 (msm/residency.py); the portable path keeps
+        # points-major (N, 2, L) / (N, Ls) u32.
+        self._points = None
+        self._scalars = None
+        self._scalar_bits = None       # < fr.bits in precompute mode
+        # In-flight result queue: (label, device array) FIFO — the
+        # reference's multi-deep task queue (msm_hw_code.rs:19-25), where a
+        # new start_process never clobbers an unpopped result.
+        self._inflight: collections.deque = collections.deque()
         self._hbm_cache: dict = {}     # persistent point residency (mode 3)
+
+    def _resident(self) -> bool:
+        """True when operands should use the lanes-major TPU residency."""
+        return self.engine.config.fused_active()
 
     def loaded_binary_parameters(self) -> ImageParams:
         spec = self.curve.spec
@@ -116,23 +153,44 @@ class MSMClient(DriverPrimitive):
         """Three modes (msm_api.rs:122-220):
         1. points + scalars (DMA);
         2. points cached under a key + scalars (HBM load);
-        3. scalars only, points reused from cache (HBM reuse)."""
+        3. scalars only, points reused from cache (HBM reuse).
+
+        On TPU, operands are converted to the lanes-major residency
+        (msm/residency.py) so the client lifecycle reaches the fused-kernel
+        path — and max problem sizes — directly."""
         with timed(self._timings, "set_data_s"):
             params = input.params or self._params
             if params is None:
-                raise RuntimeError("initialize() first (no MSMParams)")
+                raise NotReady("initialize() first (no MSMParams)")
             self._params = params
             spec = self.curve.spec
+            log.debug("set_data scalars=%s points=%s",
+                      elide_payload(input.scalars), elide_payload(input.points))
 
             if isinstance(input.scalars, (bytes, bytearray, memoryview)):
                 scal = decode_scalars(input.scalars, spec)
             else:
                 scal = np.asarray(input.scalars, dtype=np.uint32)
             if scal.shape[0] != params.nof_elements:
-                raise ValueError(
+                raise InvalidPrimitiveParam(
                     f"scalars {scal.shape[0]} != nof_elements {params.nof_elements}"
                 )
-            self._scalars = jax.device_put(jnp.asarray(scal), self.ctx.device)
+            k = self.init.precompute_factor
+            self._scalar_bits = None
+            if k > 1:
+                # Slice scalar bits per precomputed multiple up front
+                # (msm_api.rs:39-40 windowing); the engine then sees a
+                # plain (k*N)-point MSM with short scalars.
+                scal, self._scalar_bits = split_scalars(
+                    scal, k, spec.fr.bits
+                )
+                scal = np.asarray(scal)
+            if self._resident():
+                self._scalars = _device_put(
+                    scalars_to_resident(scal), self.ctx.device
+                )
+            else:
+                self._scalars = _device_put(jnp.asarray(scal), self.ctx.device)
 
             key = params.hbm_point_addr
             if input.points is not None:
@@ -140,9 +198,8 @@ class MSMClient(DriverPrimitive):
                     pts = decode_affine_points(input.points, spec)
                 else:
                     pts = np.asarray(input.points, dtype=np.uint32)
-                k = self.init.precompute_factor
                 if pts.shape[0] != k * params.nof_elements:
-                    raise ValueError(
+                    raise InvalidPrimitiveParam(
                         f"want {k * params.nof_elements} points "
                         f"(precompute_factor={k}), got {pts.shape[0]}"
                     )
@@ -156,14 +213,20 @@ class MSMClient(DriverPrimitive):
                         .transpose(1, 0, 2, 3)
                         .reshape(k * n, 2, -1)
                     )
-                dev = jax.device_put(jnp.asarray(pts), self.ctx.device)
-                dev = self.curve.fq.to_mont(dev)
+                if self._resident():
+                    dev = points_to_resident(
+                        self.curve, _device_put(jnp.asarray(pts), self.ctx.device)
+                    )
+                else:
+                    dev = self.curve.fq.to_mont(
+                        _device_put(jnp.asarray(pts), self.ctx.device)
+                    )
                 if key is not None:
                     self._hbm_cache[key] = dev      # mode 2: load-to-HBM
                 self._points = dev
             else:
                 if key is None or key not in self._hbm_cache:
-                    raise RuntimeError(
+                    raise NotReady(
                         "scalars-only set_data needs points cached under "
                         f"hbm_point_addr (key={key!r})"
                     )
@@ -171,35 +234,36 @@ class MSMClient(DriverPrimitive):
 
     def start_process(self, param=None) -> None:
         """Queue the task (PUSH_MSM_TASK analog, msm_api.rs:113-120).
-        Returns immediately: JAX dispatch is async."""
+        Returns immediately (JAX dispatch is async) and may be called
+        repeatedly — each task joins the in-flight queue with its label."""
         if self._points is None or self._scalars is None:
-            raise RuntimeError("set_data() first")
+            raise NotReady("set_data() first")
         with timed(self._timings, "start_s"):
-            self._push_task()
-            k = self.init.precompute_factor
-            if k > 1:
-                self._pending = self.engine.msm_precomputed(
-                    self._points, self._scalars, k
-                )
-            else:
-                self._pending = self.engine(self._points, self._scalars)
+            label = self._push_task()
+            out = self.engine(
+                self._points, self._scalars, scalar_bits=self._scalar_bits
+            )
+            self._inflight.append((label, out))
 
     def wait_result(self) -> None:
-        """Block until done (RESULT_VALID poll analog, msm_api.rs:222-238)."""
-        if self._pending is None:
+        """Block until the oldest queued task is done (RESULT_VALID poll
+        analog, msm_api.rs:222-238)."""
+        if not self._inflight:
             return
         with timed(self._timings, "wait_s"):
-            hard_sync(self._pending)
+            hard_sync(self._inflight[0][1])
 
     def result(self, param=None) -> Optional[MSMResult]:
-        if self._pending is None:
+        """Pop the oldest completed task (POP_RESULT, msm_api.rs:240-274)."""
+        if not self._inflight:
             return None
         self.wait_result()
-        proj = self.curve.fq.from_mont(self._pending)  # (3, L) canonical
+        label, out = self._inflight.popleft()
+        proj = self.curve.fq.from_mont(out)            # (3, L) canonical
         raw = encode_projective_result(np.asarray(proj), self.curve.spec)
-        label = self._pop_task()
-        self._pending = None
-        return MSMResult(result=raw, label=label if label is not None else 0)
+        popped = self._pop_task()
+        assert popped is None or popped == label
+        return MSMResult(result=raw, label=label)
 
     # -------------------------------------------------------- HBM helpers
     def load_data_to_hbm(self, key: str, points) -> None:
@@ -207,17 +271,22 @@ class MSMClient(DriverPrimitive):
         spec = self.curve.spec
         if isinstance(points, (bytes, bytearray, memoryview)):
             points = decode_affine_points(points, spec)
-        dev = jax.device_put(jnp.asarray(np.asarray(points, np.uint32)),
-                             self.ctx.device)
-        self._hbm_cache[key] = self.curve.fq.to_mont(dev)
+        dev = _device_put(jnp.asarray(np.asarray(points, np.uint32)),
+                          self.ctx.device)
+        if self._resident():
+            self._hbm_cache[key] = points_to_resident(self.curve, dev)
+        else:
+            self._hbm_cache[key] = self.curve.fq.to_mont(dev)
 
     def get_data_from_hbm(self, key: str):
         """Read back cached points, canonical limbs (msm_api.rs:313-322)."""
         dev = self._hbm_cache[key]
+        if dev.ndim == 2:  # lanes-major residency
+            dev = points_from_resident(self.curve, dev)
         return np.asarray(self.curve.fq.from_mont(dev))
 
     def is_msm_engine_ready(self) -> bool:
-        return self._pending is None
+        return not self._inflight
 
     def get_api(self) -> dict:
         """Register-dump analog (msm_api.rs:324-330)."""
@@ -289,23 +358,33 @@ class NTTClient(DriverPrimitive):
                 limbs = np.asarray(input.data, dtype=np.uint32)
             n = 1 << self.logn
             if limbs.shape[0] != n:
-                raise ValueError(f"want {n} elements, got {limbs.shape[0]}")
-            dev = jax.device_put(jnp.asarray(limbs), self.ctx.device)
+                raise InvalidPrimitiveParam(
+                    f"want {n} elements, got {limbs.shape[0]}"
+                )
+            dev = _device_put(jnp.asarray(limbs), self.ctx.device)
             self._slots[input.buf_host] = self.plan.field.to_mont(dev)
 
     def start_process(self, buf_kernel: int = 0) -> None:
         """Kick the transform on a buffer (AP_CTRL start, ntt_api.rs:58-70)."""
         if self._slots[buf_kernel] is None:
-            raise RuntimeError(f"buffer {buf_kernel} empty")
+            raise NotReady(f"buffer {buf_kernel} empty")
         with timed(self._timings, "start_s"):
             self._push_task()
             fn = self.plan.intt if self.inverse else self.plan.ntt
             self._results[buf_kernel] = fn(self._slots[buf_kernel])
 
-    def wait_result(self) -> None:
-        """ap_done poll analog (ntt_api.rs:89-108)."""
+    def wait_result(self, buf_kernel: Optional[int] = None) -> None:
+        """ap_done poll analog (ntt_api.rs:89-108).  With a buffer index,
+        blocks only on that buffer — the other slot keeps computing, which
+        is the whole point of the double-buffered overlap
+        (integration_ntt.rs:103-136)."""
         with timed(self._timings, "wait_s"):
-            for r in self._results:
+            targets = (
+                self._results
+                if buf_kernel is None
+                else [self._results[buf_kernel]]
+            )
+            for r in targets:
                 if r is not None:
                     hard_sync(r)
 
@@ -396,13 +475,13 @@ class PoseidonClient(DriverPrimitive):
 
     def start_process(self, param=None) -> None:
         if self._param is None or self._builder is None:
-            raise RuntimeError("initialize() first")
+            raise NotReady("initialize() first")
         h = self._param.tree_height
         nleaves = base_layer_size(h)
         want = nleaves * (LEAF_ARITY if self._param.tree_mode == TreeMode.TREE_C
                           else 1)
         if len(self._stream) < want:
-            raise RuntimeError(
+            raise NotReady(
                 f"need {want} elements for height {h}, have {len(self._stream)}"
             )
         with timed(self._timings, "start_s"):
@@ -428,7 +507,9 @@ class PoseidonClient(DriverPrimitive):
         ]
         self._pop_task()
         if expected_count is not None and len(recs) != expected_count:
-            raise RuntimeError(f"expected {expected_count} nodes, got {len(recs)}")
+            raise NotReady(
+                f"expected {expected_count} nodes, got {len(recs)}"
+            )
         return recs
 
     @property

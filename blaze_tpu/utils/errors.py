@@ -19,7 +19,7 @@ class BlazeError(Exception):
     """Base class for all framework errors (error.rs:4 analog)."""
 
 
-class DeviceError(BlazeError):
+class DeviceError(BlazeError, RuntimeError):
     """Device transfer / execution failure (error.rs Write/Read analogs).
 
     Carries the logical buffer name in place of the reference's register
@@ -30,20 +30,23 @@ class DeviceError(BlazeError):
         self.buffer = buffer
 
 
-class NotReady(BlazeError):
+class NotReady(BlazeError, RuntimeError):
     """Operation attempted before the engine/buffer is ready
-    (HBICAPNotReady analog, error.rs:16-17)."""
+    (HBICAPNotReady analog, error.rs:16-17).
+
+    Also a RuntimeError so callers written against the generic hierarchy
+    keep working."""
 
 
-class InvalidPrimitiveParam(BlazeError):
+class InvalidPrimitiveParam(BlazeError, ValueError):
     """Bad lifecycle parameter (error.rs:19-20)."""
 
 
-class LoadFailed(BlazeError):
+class LoadFailed(BlazeError, RuntimeError):
     """Kernel warm-up / compilation failure (bitstream LoadFailed analog,
     error.rs:25-26)."""
 
 
-class DataError(BlazeError):
+class DataError(BlazeError, ValueError):
     """Malformed input bytes / constants files (CsvError + FileError
     analogs, error.rs:22-23,28-29)."""

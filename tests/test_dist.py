@@ -55,6 +55,37 @@ def test_distributed_ntt_roundtrip_and_match():
     assert F.to_int(back) == xs
 
 
+def test_distributed_msm_scalar_bits():
+    """The masked-scalar short-window path the dry run uses (scalar_bits=8)
+    must agree with an oracle MSM of the same masked scalars."""
+    from blaze_tpu.oracle import ECOracle
+
+    spec = CURVES["bn254"]
+    curve = Curve(spec)
+    mesh = make_mesh({"dp": 8})
+    n = 64
+    points, scalars, _, _ = random_msm_instance(spec, n, seed=63)
+    masked = np.asarray(scalars).copy()
+    masked[:, 0] &= 0xFF
+    masked[:, 1:] = 0
+    oracle = ECOracle(spec)
+    pts_int = [
+        (
+            int(sum(int(v) << (16 * i) for i, v in enumerate(p[0]))),
+            int(sum(int(v) << (16 * i) for i, v in enumerate(p[1]))),
+        )
+        for p in np.asarray(points)
+    ]
+    expected = oracle.msm(pts_int, [int(s[0]) for s in masked])
+
+    pts = curve.fq.to_mont(jnp.asarray(points))
+    dmsm = DistributedMSM(curve, mesh, axis="dp")
+    res = dmsm(pts, jnp.asarray(masked), window_bits=4, scalar_bits=8)
+    aff = curve.to_affine(res[None])[0]
+    got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+    assert got == expected
+
+
 def test_distributed_msm_2d_mesh():
     # MSM on the dp axis of a 2D mesh (the dryrun_multichip layout)
     spec = CURVES["bn254"]

@@ -102,6 +102,32 @@ def test_msm_client_hbm_point_reuse():
         client2.set_data(MSMInput(scalars=sraw, points=None))
 
 
+def test_msm_client_task_queue_depth():
+    """Multiple tasks in flight at once: push 3, pop 3 labeled results in
+    FIFO order (the reference's multi-deep queue, msm_hw_code.rs:19-25) —
+    a second start_process must not clobber the first's result."""
+    spec = CURVES[CURVE]
+    client = MSMClient(MSMInit(curve=CURVE))
+    client.initialize(MSMParams(nof_elements=N))
+
+    expects = []
+    for seed in (70, 71, 72):
+        praw, sraw, expected = make_wire_input(seed=seed)
+        client.set_data(MSMInput(scalars=sraw, points=praw))
+        client.start_process()
+        expects.append(expected)
+    assert client.pending_tasks == 3
+    assert not client.is_msm_engine_ready()
+
+    for i, expected in enumerate(expects):
+        res = client.result()
+        assert res.label == i
+        check_result(res.result, expected)
+    assert client.pending_tasks == 0
+    assert client.is_msm_engine_ready()
+    assert client.result() is None
+
+
 def test_ntt_client_double_buffered_pipeline():
     """The reference's pipelined 3-vector flow (integration_ntt.rs:63-146):
     alternate buffers, kernel on one while host fills the other."""
