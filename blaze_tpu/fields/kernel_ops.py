@@ -2,23 +2,25 @@
 
 Everything here operates on VALUES already resident in VMEM inside a
 pallas_call body, in "lanes-major" layout: a batch of field elements is a
-(L, T) uint32 array — 16-bit limbs on sublanes, batch on the 128-lane
-minor axis.  Montgomery products run the VPU limb convolution + MXU
-byte-matrix REDC scheme of fields/mxu.py; carry/borrow propagation is
-Kogge-Stone parallel prefix (serial ripple would be L dependent (1, T)
-row ops — 1/8 sublane utilization and latency-bound).
+(..., L, T) uint32 array — 16-bit limbs on the sublane (-2) axis, batch on
+the 128-lane minor axis, optional leading dims as further batching (they
+stay outer dims in Mosaic, so no op here ever retiles the minor layout).
+Montgomery products run the VPU limb convolution + MXU byte-matrix REDC
+scheme of fields/mxu.py; carry/borrow propagation is Kogge-Stone parallel
+prefix (serial ripple would be L dependent (1, T) row ops — 1/8 sublane
+utilization and latency-bound).
 
 Two reduction disciplines, chosen per instance:
 
   * lazy=True  — every value is < 2p.  Requires R > 4p (true for the
-    base fields, L = 24/16+pad): Montgomery mul of x, y < 2p gives
+    base fields, L = 24): Montgomery mul of x, y < 2p gives
     (xy + mp)/R < 4p^2/R + p < 2p, so muls skip their conditional
     subtraction; adds/subs reduce against 2p.  Used by the EC kernels
     (curves/kernels.py), which canonicalize only at kernel exit.
   * lazy=False — canonical < p invariant.  Works for any R > p (the
-    scalar fields' R = 2^256 is < 4p for the 255-bit moduli, so lazy is
-    unsound there): each mul pays one conditional subtraction, adds
-    reduce against p.  Used by the NTT/Poseidon kernels over Fr.
+    255-bit scalar fields have R = 2^256 < 4p, so lazy is unsound
+    there): each mul pays one conditional subtraction, adds reduce
+    against p.  Used by the NTT/Poseidon kernels over Fr.
 
 This is the TPU-native replacement for the reference's opaque FPGA field
 cores (`/root/reference/src/ingo_msm/msm_hw_code.rs` exposes only their
@@ -32,6 +34,11 @@ import numpy as np
 
 from .mxu import MXUMont
 from .spec import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
+
+# Lane budget per fused-multiply slab: bounds the bf16/f32 REDC temporaries
+# of one wave to a few MB of VMEM regardless of how large a batch callers
+# pass (leading dims are processed in chunks of this many total lanes).
+MAX_WAVE_LANES = 1 << 13
 
 
 class PallasFieldOps:
@@ -59,8 +66,9 @@ class PallasFieldOps:
     # ------------------------------------------------------------ helpers
     @staticmethod
     def _shift_down(x, d=1):
-        """Rows j >= d get x[j-d]; top d rows zero.  Full-height op."""
-        return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+        """Along the limb (-2) axis: rows j >= d get x[j-d]; top d zero."""
+        pad = [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)]
+        return jnp.pad(x, pad)[..., : x.shape[-2], :]
 
     def _const_col(self, ints, T):
         """(len, T) column whose rows are the given per-limb scalars."""
@@ -73,21 +81,21 @@ class PallasFieldOps:
 
     # --------------------------------------------------- carries / borrows
     def _ks_carry(self, cols, carry_in=None):
-        """Exact carry normalization of (K, T) u32 16-bit-stride columns.
-
-        Any u32 input values.  Returns (limbs < 2^16, carry_out (1, T)).
-        Two value folds bound rows to <= 2^16, then a Kogge-Stone
-        generate/propagate prefix resolves the remaining 0/1 ripple.
-        """
-        K, T = cols.shape
-        over = jnp.zeros((1, T), jnp.uint32)
-
+        """Exact carry normalization of (..., K, T) u32 16-bit-stride
+        columns.  Any u32 input values.  Returns (limbs < 2^16, carry_out
+        (..., 1, T)).  Two value folds bound rows to <= 2^16, then a
+        Kogge-Stone generate/propagate prefix resolves the remaining 0/1
+        ripple."""
+        K = cols.shape[-2]
         v = cols
         if carry_in is not None:
-            v = v + jnp.pad(carry_in, ((0, K - 1), (0, 0)))
+            pad = [(0, 0)] * (carry_in.ndim - 2) + [(0, K - 1), (0, 0)]
+            v = v + jnp.pad(carry_in, pad)
+        over = jnp.zeros_like(v[..., :1, :])
+
         for _ in range(2):  # after two folds every row is <= 2^16
             hi = v >> LIMB_BITS
-            over = over + hi[K - 1 : K]
+            over = over + hi[..., K - 1 : K, :]
             v = (v & LIMB_MASK) + self._shift_down(hi)
 
         g = v >> LIMB_BITS                      # 0/1 generate
@@ -98,14 +106,14 @@ class PallasFieldOps:
             g = g | (p & self._shift_down(g, d))
             p = p & self._shift_down(p, d)
             d *= 2
-        over = over + g[K - 1 : K]
+        over = over + g[..., K - 1 : K, :]
         out = (v + self._shift_down(g)) & LIMB_MASK
         return out, over
 
     def _ks_borrow_sub(self, a, b):
-        """a - b on (L, T) 16-bit limb columns; returns (diff, borrow_out).
-
-        diff is the 2^(16L)-complement result; borrow_out (1, T) is 0/1."""
+        """a - b on (..., L, T) 16-bit limb columns; returns (diff,
+        borrow_out).  diff is the 2^(16L)-complement result; borrow_out
+        (..., 1, T) is 0/1."""
         L = self.L
         v = a + jnp.uint32(LIMB_MASK + 1) - b    # in [1, 2^17)
         g = (v >> LIMB_BITS) ^ jnp.uint32(1)     # borrow generated: v < 2^16
@@ -117,67 +125,106 @@ class PallasFieldOps:
             d *= 2
         bor_in = self._shift_down(g)
         out = (v - bor_in) & LIMB_MASK
-        return out, g[L - 1 : L]
+        return out, g[..., L - 1 : L, :]
 
     def _cond_sub_p(self, limbs, top):
         """limbs - p when limbs+top*2^(16L) >= p (single conditional)."""
-        T = limbs.shape[1]
-        pcol = self._const_col(self._p_ints, T)
+        pcol = self._const_col(self._p_ints, limbs.shape[-1])
         sub, borrow = self._ks_borrow_sub(limbs, pcol)
         ge = (top > 0) | (borrow == 0)
         return jnp.where(ge, sub, limbs)
 
     def _cond_sub_2p(self, limbs):
         """limbs - 2p when limbs >= 2p (lazy-invariant restore, < 4p in)."""
-        T = limbs.shape[1]
-        pcol = self._const_col(self._p2_ints, T)
+        pcol = self._const_col(self._p2_ints, limbs.shape[-1])
         sub, borrow = self._ks_borrow_sub(limbs, pcol)
         return jnp.where(borrow == 0, sub, limbs)
 
     # -------------------------------------------------------------- REDC
     def _redc(self, acc, mnp, mp):
-        """Montgomery reduction of lazy product columns acc (W, T) u32
-        (16-bit stride, any values) -> limbs (L, T).
+        """Montgomery reduction of lazy product columns acc (..., W, T)
+        u32 (16-bit stride, any values) -> limbs (..., L, T).
 
         lazy=True: result < 2p (no subtraction).  lazy=False: result < p
         (one conditional subtraction against the carry-out)."""
         L = self.L
         t8 = jnp.concatenate(
-            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=0
+            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=-2
         ).astype(jnp.int32).astype(jnp.bfloat16)
-        m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
+        m_cols = self._const_dot(mnp, t8)
         mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
-        m16 = mc[:L] + (mc[L:] << 8)           # deinterleaved lo/hi blocks
+        m16 = mc[..., :L, :] + (mc[..., L:, :] << 8)  # deinterleaved blocks
         m, _ = self._ks_carry(m16)
-        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=0).astype(
+        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=-2).astype(
             jnp.int32).astype(jnp.bfloat16)
-        q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
+        q_cols = self._const_dot(mp, m8)
         qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
-        q16 = qc[: 2 * L] + (qc[2 * L :] << 8)
-        u = acc + jnp.pad(q16, ((0, 1), (0, 0)))
-        _, c1 = self._ks_carry(u[:L])
+        q16 = qc[..., : 2 * L, :] + (qc[..., 2 * L :, :] << 8)
+        pad = [(0, 0)] * (q16.ndim - 2) + [(0, 1), (0, 0)]
+        u = acc + jnp.pad(q16, pad)
+        _, c1 = self._ks_carry(u[..., :L, :])
         if self.lazy:
             # inputs < 2p and R > 4p give a result < 2p < 2^(16L), so the
             # carry out of limb L-1 is the whole story — no top column, no
             # conditional subtraction.
-            limbs, _ = self._ks_carry(u[L : 2 * L], carry_in=c1)
+            limbs, _ = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
             return limbs
         # canonical: result before subtraction is < 2p; one cond-sub.
-        limbs, top = self._ks_carry(u[L : 2 * L], carry_in=c1)
-        top = top + u[2 * L : 2 * L + 1]
+        limbs, top = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
+        top = top + u[..., 2 * L : 2 * L + 1, :]
         return self._cond_sub_p(limbs, top)
 
+    @staticmethod
+    def _const_dot(mat, x):
+        """mat (M, K) constant  @  x (..., K, T) -> (..., M, T) on the MXU.
+
+        Leading dims of x batch the matmul (Mosaic loops tile-sized
+        instances); the constant is broadcast, never materialized per
+        batch in HBM."""
+        if x.ndim == 2:
+            return jnp.dot(mat, x, preferred_element_type=jnp.float32)
+        lead = x.shape[:-2]
+        nb = len(lead)
+        mb = jnp.broadcast_to(mat, (*lead, *mat.shape))
+        return jax.lax.dot_general(
+            mb, x,
+            dimension_numbers=(((nb + 1,), (nb,)),
+                               (tuple(range(nb)), tuple(range(nb)))),
+            preferred_element_type=jnp.float32,
+        )
+
     def _mont_mul(self, a, b, mnp, mp):
-        """Fused Montgomery product of (L, T) batches (VPU conv + MXU REDC;
-        same math as fields/mxu.py MXUMont._kernel)."""
+        """Fused Montgomery product of (..., L, T) batches (VPU conv + MXU
+        REDC; same math as fields/mxu.py MXUMont._kernel).  a and b
+        broadcast against each other over leading dims; a's limbs drive
+        the convolution (pass the lower-rank operand as a).  Large leading
+        batches are processed in slabs to bound VMEM temporaries."""
         L, W = self.L, self.W
-        T = a.shape[1]
-        acc = jnp.zeros((W, T), jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        lead = shape[:-2]
+        total_lanes = int(np.prod(lead, dtype=np.int64)) * shape[-1] if lead \
+            else shape[-1]
+        if lead and total_lanes > MAX_WAVE_LANES:
+            # slab over the first leading dim
+            n0 = shape[0]
+            step = max(1, n0 * MAX_WAVE_LANES // total_lanes)
+            ab = jnp.broadcast_to(a, shape)
+            bb = jnp.broadcast_to(b, shape)
+            outs = [
+                self._mont_mul(ab[i : i + step], bb[i : i + step], mnp, mp)
+                for i in range(0, n0, step)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        pad_lead = [(0, 0)] * (len(shape) - 2)
+        acc = jnp.zeros((*lead, W, shape[-1]), jnp.uint32)
         for i in range(L):
-            prod = a * b[i : i + 1]
-            acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
-            acc = acc + jnp.pad(prod >> LIMB_BITS,
-                                ((i + 1, W - i - 1 - L), (0, 0)))
+            prod = a[..., i : i + 1, :] * b
+            acc = acc + jnp.pad(
+                prod & LIMB_MASK, pad_lead + [(i, W - i - L), (0, 0)]
+            )
+            acc = acc + jnp.pad(
+                prod >> LIMB_BITS, pad_lead + [(i + 1, W - i - 1 - L), (0, 0)]
+            )
         return self._redc(acc, mnp, mp)
 
     # ------------------------------------------------------------ add/sub
@@ -189,11 +236,12 @@ class PallasFieldOps:
         return self._cond_sub_p(limbs, top)
 
     def _sub_f(self, a, b):
-        """Field sub on (L, T) 16-bit limb batches."""
-        T = a.shape[1]
+        """Field sub on (..., L, T) 16-bit limb batches."""
         d, borrow = self._ks_borrow_sub(a, b)
         # if borrowed, add the modulus back (no re-borrow possible)
-        pcol = self._const_col(self._p2_ints if self.lazy else self._p_ints, T)
+        pcol = self._const_col(
+            self._p2_ints if self.lazy else self._p_ints, d.shape[-1]
+        )
         fixed, _ = self._ks_carry(d + pcol)
         return jnp.where(borrow > 0, fixed, d)
 
