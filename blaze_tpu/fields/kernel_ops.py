@@ -141,12 +141,15 @@ class PallasFieldOps:
         return jnp.where(borrow == 0, sub, limbs)
 
     # -------------------------------------------------------------- REDC
-    def _redc(self, acc, mnp, mp):
+    def _redc(self, acc, mnp, mp, subs: int = 1):
         """Montgomery reduction of lazy product columns acc (..., W, T)
         u32 (16-bit stride, any values) -> limbs (..., L, T).
 
-        lazy=True: result < 2p (no subtraction).  lazy=False: result < p
-        (one conditional subtraction against the carry-out)."""
+        lazy=True: result < 2p (no subtraction).  lazy=False: result < p,
+        via `subs` chained conditional subtractions with a tracked top
+        word — subs=1 suffices for single products (T < p^2 -> < 2p);
+        summed-product inputs (e.g. a fused MDS row, T < t*p^2) need
+        subs = floor(t*p/R) + 1."""
         L = self.L
         t8 = jnp.concatenate(
             [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=-2
@@ -169,18 +172,29 @@ class PallasFieldOps:
             # conditional subtraction.
             limbs, _ = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
             return limbs
-        # canonical: result before subtraction is < 2p; one cond-sub.
+        # canonical: chained cond-subs with explicit top tracking (the
+        # value may exceed 2^(16L), so "ge" alone cannot drop the top).
         limbs, top = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
         top = top + u[..., 2 * L : 2 * L + 1, :]
-        return self._cond_sub_p(limbs, top)
+        if subs == 1:
+            return self._cond_sub_p(limbs, top)
+        pcol = self._const_col(self._p_ints, limbs.shape[-1])
+        for _ in range(subs):
+            sub, borrow = self._ks_borrow_sub(limbs, pcol)
+            ge = (top > 0) | (borrow == 0)
+            limbs = jnp.where(ge, sub, limbs)
+            top = top - jnp.where(ge & (borrow > 0), jnp.uint32(1),
+                                  jnp.uint32(0))
+        return limbs
 
     @staticmethod
     def _const_dot(mat, x):
         """mat (M, K) constant  @  x (..., K, T) -> (..., M, T) on the MXU.
 
-        Leading dims of x batch the matmul (Mosaic loops tile-sized
-        instances); the constant is broadcast, never materialized per
-        batch in HBM."""
+        Leading dims of x batch the matmul; the constant is broadcast.
+        (Flattening leading dims into lanes around one wide 2D matmul was
+        measured SLOWER — the moveaxis/reshape relayouts cost more than
+        the batched small matmuls they replace.)"""
         if x.ndim == 2:
             return jnp.dot(mat, x, preferred_element_type=jnp.float32)
         lead = x.shape[:-2]
@@ -215,6 +229,11 @@ class PallasFieldOps:
                 for i in range(0, n0, step)
             ]
             return jnp.concatenate(outs, axis=0)
+        # materialize broadcasts up-front: Mosaic can't lower a single op
+        # that extends both sublanes and lanes (e.g. (N, 1, 1) -> (N, L, T)
+        # from a per-limb slice of a lane-constant operand)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
         pad_lead = [(0, 0)] * (len(shape) - 2)
         acc = jnp.zeros((*lead, W, shape[-1]), jnp.uint32)
         for i in range(L):

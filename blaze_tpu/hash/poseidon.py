@@ -62,7 +62,17 @@ class Poseidon:
 
     # ---------------------------------------------------------- permutation
     def _permute(self, state):
-        """(..., t, L) Montgomery -> (..., t, L)."""
+        """(..., t, L) Montgomery -> (..., t, L).
+
+        On TPU the whole permutation runs as ONE fused Pallas kernel
+        (hash/kernels.py); off-TPU (or under portable_only) it is the
+        XLA-composed round loop below."""
+        from ..fields.mxu import mxu_available
+
+        if mxu_available() and self.params.alpha == 5:
+            from .kernels import PoseidonKernels
+
+            return PoseidonKernels.for_params(self.params).permute_pm(state)
         p = self.params
         rc = jnp.asarray(p.rc_mont)  # (rounds, t, L)
         half_f = p.r_f // 2

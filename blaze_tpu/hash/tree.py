@@ -48,24 +48,36 @@ def base_layer_size(height: int) -> int:
 
 @dataclasses.dataclass
 class TreeResult:
-    """All tree nodes, leaf layer first; mirrors the drained result records."""
+    """All tree nodes, leaf layer first; mirrors the drained result records.
 
-    layers: list  # list of np.ndarray (count, L) canonical limbs
+    Layers are DEVICE arrays until drained: building is async (JAX
+    dispatch), like the reference's streaming engine that emits internal
+    layers while leaves are still being fed (integration_poseidon.rs:81-119).
+    `records()`/`root` force the transfer; `block_until_ready()` is the
+    wait_result hook.
+    """
+
+    layers: list  # list of (count, L) canonical limbs (device or host)
+
+    def block_until_ready(self):
+        from ..utils.misc import hard_sync
+
+        hard_sync(self.layers[-1])
 
     def records(self):
         """(hash_limbs, layer_id, hash_id) triples, streaming order."""
         out = []
         for layer_id, layer in enumerate(self.layers):
-            for hash_id, h in enumerate(layer):
+            for hash_id, h in enumerate(np.asarray(layer)):
                 out.append((h, layer_id, hash_id))
         return out
 
     @property
     def root(self):
-        return self.layers[-1][0]
+        return np.asarray(self.layers[-1])[0]
 
     def __len__(self):
-        return sum(len(layer) for layer in self.layers)
+        return sum(layer.shape[0] for layer in self.layers)
 
 
 class MerkleTreeBuilder:
@@ -117,5 +129,6 @@ class MerkleTreeBuilder:
             layer = self.node_hasher.hash(grouped, tag)
             layers_mont.append(layer)
 
-        layers = [np.asarray(f.from_mont(l)) for l in layers_mont]
+        # leave layers on device (async dispatch); drained by records()
+        layers = [f.jit_op("from_mont")(l) for l in layers_mont]
         return TreeResult(layers=layers)

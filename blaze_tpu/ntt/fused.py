@@ -1,0 +1,226 @@
+"""Composed fused NTT: Cooley-Tukey recursion over the VMEM base kernels.
+
+A size-2^logn transform is decomposed into balanced factors of at most
+2^KLOG (each a single fused pallas_call over the whole sub-transform,
+ntt/kernels.py); between factors sit an inter-level twiddle multiply and
+lane/row transposes — the TPU analog of the reference's 16-bank HBM
+scatter/gather shuffle (`/root/reference/src/ingo_ntt/ntt_data.rs:80-156`,
+done on the host CPU there; here they are on-device XLA transposes, and
+become all_to_all collectives in the sharded path, dist/ntt_dist.py).
+
+The inter-level twiddle W^(j*v) of a K = A*C split is K entries — 4 GiB
+of limbs at 2^27, which must never be materialized.  It is applied in
+lane slabs from two SPLIT TABLES: with j = jh*S + jl (S ~ sqrt(C)),
+
+    W^(j*v) = T1[jh*v] * T2[jl*v],   T1[m] = W^(S*m),  T2[m] = W^m,
+
+each table ~A*sqrt(C) entries (8 MiB at 2^27).  Per slab: two lane-axis
+gathers + ONE fused triple-product kernel (y * T1 * T2, kernels.mul_lm),
+so twiddle traffic stays ~3 passes over the slab.
+
+Everything is u16 end to end (limbs < 2^16 by representation): a 2^27
+buffer is 4 GiB — the reference's exact buffer budget (ntt_data.rs:42).
+
+Working layout: (K, L, B) — transform index on the leading axis, limbs on
+sublanes, B independent transforms on lanes.  A points-major (n, L) input
+is the B = 1 case via one trailing-axis expand (zero-cost).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.mont import Field
+from ..fields.spec import FieldSpec, int_to_limbs
+from .kernels import NTTKernels
+from .transform import _bitrev_perm
+
+__all__ = ["FusedNTT", "split_parts"]
+
+KLOG = 9          # max log2 base-kernel size (VMEM-bound)
+SLAB_LANES = 1 << 14
+
+
+def split_parts(logn: int, klog: int = KLOG) -> list[int]:
+    """Balanced decomposition of logn into parts each <= klog."""
+    if logn <= klog:
+        return [max(logn, 0)]
+    nparts = -(-logn // klog)
+    base, rem = divmod(logn, nparts)
+    return [base + 1] * rem + [base] * (nparts - rem)
+
+
+class FusedNTT:
+    """Fused-kernel NTT plan for one (field, logn).  API parity with
+    NTTPlan: `.ntt` / `.intt` jitted callables over (n, L) uint32
+    Montgomery-form limbs, natural order in and out."""
+
+    def __init__(self, spec: FieldSpec, logn: int, klog: int = KLOG,
+                 slab_lanes: int = SLAB_LANES, interpret: bool = False):
+        if logn > spec.two_adicity:
+            raise ValueError(
+                f"{spec.name}: 2-adicity {spec.two_adicity} < logn {logn}"
+            )
+        self.spec = spec
+        self.field = Field(spec)
+        self.logn = logn
+        self.n = 1 << logn
+        self.parts = split_parts(logn, klog)
+        self._slab = slab_lanes
+        self.kern = NTTKernels.for_spec(spec, interpret)
+
+        p, L = spec.p, spec.nlimbs
+        f = self.field
+        ninv = pow(self.n, -1, p)
+        self._ninv_mont = jnp.asarray(
+            int_to_limbs((ninv * spec.r) % p, L), dtype=jnp.uint32
+        )
+
+        def mont(v):
+            return jnp.asarray(int_to_limbs((v * spec.r) % p, L))
+
+        # ---- base-kernel twiddle packs, one per distinct part size.
+        # pack[m-1+t] (m = 2^s) = W_A^(t << (a-1-s)): the stage-s slice is
+        # the contiguous rows [m-1, 2m-1).
+        self._packs = {}
+        self._bitrev = {}
+        for a in sorted(set(self.parts)):
+            self._bitrev[a] = jnp.asarray(_bitrev_perm(a))
+            if a == 0:
+                continue
+            A = 1 << a
+            idx = np.zeros(A, dtype=np.int64)
+            for s in range(a):
+                m = 1 << s
+                idx[m - 1 : 2 * m - 1] = np.arange(m) << (a - 1 - s)
+            for inv in (False, True):
+                wa = spec.root_of_unity(a)
+                if inv:
+                    wa = pow(wa, -1, p)
+                pows = f.powers(mont(wa), max(A // 2, 1))      # (A/2, L)
+                pack = jnp.take(pows, jnp.asarray(idx % max(A // 2, 1)),
+                                axis=0)[:, :, None]
+                # lane-expanded u16 (kernels.py needs concrete lanes)
+                self._packs[(a, inv)] = (
+                    jnp.broadcast_to(pack, (A, L, 128)).astype(jnp.uint16)
+                    + jnp.uint16(0)
+                )
+
+        # ---- inter-level split twiddle tables, one pair per node depth.
+        # Depth d splits K_d = prod(parts[d:]) as A_d * C_d.  n^-1 is
+        # folded into the depth-0 inverse T1 (every element passes the
+        # depth-0 twiddle exactly once).
+        self._tabs = {}
+        for d in range(len(self.parts) - 1):
+            logK = sum(self.parts[d:])
+            a = self.parts[d]
+            logC = logK - a
+            logS = (logC + 1) // 2
+            A, C, S = 1 << a, 1 << logC, 1 << logS
+            n1 = (C // S - 1) * (A - 1) + 1
+            n2 = (S - 1) * (A - 1) + 1
+            for inv in (False, True):
+                w = spec.root_of_unity(logK)
+                if inv:
+                    w = pow(w, -1, p)
+                t1 = f.powers(mont(pow(w, S, p)), n1)          # (n1, L)
+                t2 = f.powers(mont(w), n2)
+                if inv and d == 0:
+                    t1 = f.mul(t1, self._ninv_mont)
+                self._tabs[(d, inv)] = (
+                    jnp.moveaxis(t1, 0, 1).astype(jnp.uint16),  # (L, n1)
+                    jnp.moveaxis(t2, 0, 1).astype(jnp.uint16),
+                    logS,
+                )
+
+    # ------------------------------------------------------------ twiddle
+    def _apply_twiddle(self, y, depth: int, B: int, inverse: bool):
+        """y: (A, L, C*B) u16, lane = j*B + b.  Multiply entry (v, j) by
+        W^(j*v), slab by slab along the lane axis."""
+        T1, T2, logS = self._tabs[(depth, inverse)]
+        A, L, lanes = y.shape
+        S_l = min(lanes, self._slab)
+        v = jax.lax.broadcasted_iota(jnp.int32, (A, S_l), 0)
+        outs = []
+        for lo in range(0, lanes, S_l):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (A, S_l), 1) + lo
+            j = lane // B if B > 1 else lane
+            jh = j >> logS
+            jl = j & ((1 << logS) - 1)
+            tw1 = jnp.moveaxis(jnp.take(T1, jh * v, axis=1), 0, 1)
+            tw2 = jnp.moveaxis(jnp.take(T2, jl * v, axis=1), 0, 1)
+            outs.append(self.kern.mul_lm(y[:, :, lo : lo + S_l], tw1, tw2))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+
+    # ---------------------------------------------------------- recursion
+    def _base(self, x, a: int, inverse: bool):
+        if a == 0:
+            return x.astype(jnp.uint16)
+        x = jnp.take(x, self._bitrev[a], axis=0)
+        return self.kern.ntt_base(x, self._packs[(a, inverse)])
+
+    def _rec(self, x, depth: int, inverse: bool):
+        """x: (K, L, B) u16/u32 natural order -> (K, L, B) u16 natural."""
+        parts = self.parts[depth:]
+        K, L, B = x.shape
+        if len(parts) == 1:
+            return self._base(x, parts[0], inverse)
+        a = parts[0]
+        A = 1 << a
+        C = K >> a
+        # column NTTs of size A, batched over (j, b) lanes
+        x = x.reshape(A, C, L, B).swapaxes(1, 2).reshape(A, L, C * B)
+        y = self._base(x, a, inverse)
+        y = self._apply_twiddle(y, depth, B, inverse)
+        # row NTTs of size C, batched over (v, b) lanes
+        y = y.reshape(A, L, C, B).transpose(2, 1, 0, 3).reshape(C, L, A * B)
+        z = self._rec(y, depth + 1, inverse)
+        # output index u*A + v at z[u, :, v*B + b]
+        return z.reshape(C, L, A, B).swapaxes(1, 2).reshape(K, L, B)
+
+    # ------------------------------------------------------------- public
+    def _fwd(self, x):
+        y = self._rec(x.astype(jnp.uint16)[..., None], 0, False)
+        return y[..., 0].astype(jnp.uint32)
+
+    def _inv(self, x):
+        y = self._rec(x.astype(jnp.uint16)[..., None], 0, True)
+        out = y[..., 0].astype(jnp.uint32)
+        if len(self.parts) == 1:
+            out = self.field.mul(out, self._ninv_mont)
+        return out
+
+    @functools.cached_property
+    def ntt(self):
+        """Forward NTT, jitted: (n, L) uint32 Montgomery -> same."""
+        return jax.jit(self._fwd)
+
+    @functools.cached_property
+    def intt(self):
+        """Inverse NTT, jitted."""
+        return jax.jit(self._inv)
+
+    # u16 in/out with input donation: at 2^27 a buffer is 4 GiB (the
+    # reference's budget, ntt_data.rs:42) and the u32 public dtype would
+    # double it past single-chip HBM.  Limbs are < 2^16 by representation,
+    # so u16 is lossless.
+    @functools.cached_property
+    def ntt16(self):
+        return jax.jit(
+            lambda x: self._rec(x[..., None], 0, False)[..., 0],
+            donate_argnums=0,
+        )
+
+    @functools.cached_property
+    def intt16(self):
+        if len(self.parts) == 1:
+            raise NotImplementedError(
+                "u16 inverse needs the folded n^-1 (multi-level plans)"
+            )
+        return jax.jit(
+            lambda x: self._rec(x[..., None], 0, True)[..., 0],
+            donate_argnums=0,
+        )

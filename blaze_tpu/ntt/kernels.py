@@ -1,0 +1,213 @@
+"""Fused Pallas NTT kernels: whole sub-transforms in VMEM.
+
+The XLA-path NTT (transform.py) issues one Montgomery-mul kernel per
+butterfly stage with HBM round-trips between stages.  Here an ENTIRE
+radix-2 DIT transform of K <= 2^9 points runs inside one pallas_call:
+the working set lives in VMEM across all log2(K) stages, batched over
+independent transforms on the 128-lane minor axis.  Large transforms are
+composed from these base kernels by the Cooley-Tukey recursion in
+fused.py (the TPU analog of the reference's fixed 2^27 16-bank FPGA
+kernel, `/root/reference/src/ingo_ntt/ntt_data.rs:65-78` — whose compute
+is an opaque bitstream; here the butterflies are implemented for real).
+
+Layout: a batch of B independent K-point transforms is a (K, L, B)
+array — transform positions on the leading (outer) axis, 16-bit limbs on
+sublanes, batch on lanes.  For the scalar fields L = 16, so a u16 tile is
+exactly one native (16, 128) Mosaic tile: zero padding waste.
+
+Field arithmetic is PallasFieldOps with the canonical < p invariant
+(lazy=False: the 255-bit scalar fields have R < 4p, so the lazy < 2p
+discipline of the EC kernels is unsound here).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.kernel_ops import PallasFieldOps
+from ..fields.spec import FieldSpec
+
+__all__ = ["NTTKernels"]
+
+
+def _lane_pad(n: int, t: int = 128) -> int:
+    return -n % t
+
+
+class NTTKernels(PallasFieldOps):
+    """Per-FieldSpec fused NTT kernels.  Cached per (spec, interpret)."""
+
+    _CACHE: dict = {}
+
+    @classmethod
+    def for_spec(cls, spec: FieldSpec, interpret: bool = False) -> "NTTKernels":
+        key = (spec.name, interpret)
+        inst = cls._CACHE.get(key)
+        if inst is None:
+            inst = cls(spec, interpret)
+            cls._CACHE[key] = inst
+        return inst
+
+    def __init__(self, spec: FieldSpec, interpret: bool = False):
+        super().__init__(spec, lazy=False)
+        self.interpret = interpret
+        self._jit_cache: dict = {}
+
+    def _consts(self):
+        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
+        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
+        return mnp, mp
+
+    # ------------------------------------------------------------- base NTT
+    def _ntt_fn(self, K: int, Bp: int, T: int, in_dtype):
+        key = ("ntt", K, Bp, T, str(in_dtype))
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = self.L
+        logK = K.bit_length() - 1
+        assert 1 << logK == K
+
+        def kernel(mnp_ref, mp_ref, tw_ref, x_ref, o_ref):
+            x = x_ref[:].astype(jnp.uint32)            # (K, L, T)
+            # twiddles arrive lane-EXPANDED (K, L, T): Mosaic cannot lower
+            # a lane+sublane broadcast of a (m, L, 1) slice, so the lanes
+            # are made concrete in HBM (2 MiB u16 at K=512)
+            tw = tw_ref[:].astype(jnp.uint32)
+            mnp, mp = mnp_ref[:], mp_ref[:]
+            for s in range(logK):
+                m = 1 << s
+                g2 = K >> (s + 1)
+                xr = x.reshape(g2, 2, m * L, T)
+                a = xr[:, 0].reshape(g2 * m, L, T)
+                b = xr[:, 1].reshape(g2 * m, L, T)
+                if s == 0:
+                    wb = b          # stage-0 twiddle is W^0 = 1
+                else:
+                    w = jnp.broadcast_to(
+                        tw[m - 1 : 2 * m - 1][None], (g2, m, L, T)
+                    ).reshape(g2 * m, L, T)
+                    wb = self._mont_mul(w, b, mnp, mp)
+                lo = self._add_f(a, wb)
+                hi = self._sub_f(a, wb)
+                x = jnp.stack(
+                    [lo.reshape(g2, m * L, T), hi.reshape(g2, m * L, T)],
+                    axis=1,
+                ).reshape(K, L, T)
+            o_ref[:] = x.astype(jnp.uint16)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Bp // T,),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * self.W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, L, T), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, L, T), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((K, L, T), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, L, Bp), jnp.uint16),
+            # the unrolled stages' REDC relayouts need more scoped VMEM
+            # than the conservative 16M default (v5e has 128M physical)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=self.interpret,
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def ntt_base(self, x, twid_pack):
+        """One fused K-point DIT NTT per lane.
+
+        x: (K, L, B) uint16/uint32 Montgomery limbs in BIT-REVERSED order
+        (caller permutes; an XLA axis-0 gather fuses with the surrounding
+        transposes).  twid_pack: (K, L, T) uint16 stage-packed twiddles,
+        lane-expanded to the kernel tile — entry m-1+t (m = 2^s) is
+        W_K^(t << (logK-1-s)).  Returns (K, L, B) uint16, natural order,
+        canonical (< p) limbs.
+        """
+        K, L, B = x.shape
+        assert L == self.L
+        T = twid_pack.shape[-1]
+        npad = _lane_pad(B, T)
+        if npad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, npad)))
+        mnp, mp = self._consts()
+        out = self._ntt_fn(K, B + npad, T, x.dtype)(mnp, mp, twid_pack, x)
+        return out[..., :B] if npad else out
+
+    # --------------------------------------------------- elementwise muls
+    def _mul_fn(self, M: int, Np: int, BA: int, BN: int, nin: int, dtypes):
+        key = ("mul", M, Np, BA, BN, nin, dtypes)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = self.L
+
+        def kernel(mnp_ref, mp_ref, *refs):
+            o_ref = refs[-1]
+            xs = [r[:].astype(jnp.uint32) for r in refs[:-1]]
+            mnp, mp = mnp_ref[:], mp_ref[:]
+            acc = self._mont_mul(xs[0], xs[1], mnp, mp)
+            for extra in xs[2:]:
+                acc = self._mont_mul(acc, extra, mnp, mp)
+            o_ref[:] = acc.astype(jnp.uint16)
+
+        blk = pl.BlockSpec((BA, L, BN), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(M // BA, Np // BN),
+            in_specs=[
+                pl.BlockSpec((2 * L, 3 * self.W), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [blk] * nin,
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((M, L, Np), jnp.uint16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=self.interpret,
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def mul_lm(self, x, y, z=None):
+        """Elementwise Montgomery product of lanes-major batches.
+
+        x, y (and optional z): (M, L, N) uint16/uint32, same shape.
+        Returns (M, L, N) uint16 canonical.  The 3-operand form computes
+        x*y*z with both products in one kernel (one HBM round-trip) —
+        used by the four-step twiddle application (fused.py).
+        """
+        M, L, N = x.shape
+        assert L == self.L
+        ops = [x, y] + ([z] if z is not None else [])
+        BA = M if M < 8 else 8          # M is a power of two in practice
+        while M % BA:
+            BA -= 1
+        BN = min(2048, max(128, (1 << 19) // (BA * L) // 128 * 128))
+        npad = _lane_pad(N, BN)
+        if npad:
+            ops = [jnp.pad(o, ((0, 0), (0, 0), (0, npad))) for o in ops]
+        mnp, mp = self._consts()
+        dts = tuple(str(o.dtype) for o in ops)
+        out = self._mul_fn(M, N + npad, BA, BN, len(ops), dts)(mnp, mp, *ops)
+        return out[..., :N] if npad else out

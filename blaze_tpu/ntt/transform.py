@@ -204,8 +204,17 @@ class FourStepNTT:
         return jax.jit(self._inv)
 
 
-def make_ntt(spec: FieldSpec, logn: int, four_step_threshold: int = 20):
-    """Factory: single-pass plan for small n, four-step beyond."""
+def make_ntt(spec: FieldSpec, logn: int, four_step_threshold: int = 20,
+             fused_threshold: int = 10):
+    """Factory: fused Pallas plan on TPU (ntt/fused.py) for logn >=
+    fused_threshold; below it (or off-TPU) the portable single-pass plan,
+    with the XLA four-step decomposition for large portable sizes."""
+    from ..fields.mxu import mxu_available
+
+    if logn >= fused_threshold and mxu_available():
+        from .fused import FusedNTT
+
+        return FusedNTT(spec, logn)
     if logn <= four_step_threshold:
         return NTTPlan(spec, logn)
     return FourStepNTT(spec, logn)

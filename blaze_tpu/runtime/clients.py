@@ -402,11 +402,17 @@ class NTTClient(DriverPrimitive):
 # ========================================================== Poseidon client
 @dataclasses.dataclass
 class PoseidonInitializeParameters:
-    """poseidon_api.rs:20-24 analog."""
+    """poseidon_api.rs:20-24 analog.
+
+    The reference loads one opaque CSV instruction stream
+    (poseidon_api.rs:205-243); here the leaf (t=12) and node (t=9)
+    instances are separate oracle-checkable constant sets, each loadable
+    from its own CSV."""
 
     tree_height: int
     tree_mode: TreeMode = TreeMode.TREE_C
-    instruction_path: Optional[str] = None  # CSV constants (optional)
+    instruction_path: Optional[str] = None       # leaf constants CSV
+    node_instruction_path: Optional[str] = None  # node constants CSV
 
 
 @dataclasses.dataclass
@@ -451,6 +457,10 @@ class PoseidonClient(DriverPrimitive):
             leaf_params = params_from_csv(
                 self.spec, param.instruction_path, LEAF_ARITY + 1
             )
+        if param.node_instruction_path:
+            node_params = params_from_csv(
+                self.spec, param.node_instruction_path, 9
+            )
         self._builder = MerkleTreeBuilder(
             self.spec, leaf_params=leaf_params, node_params=node_params
         )
@@ -492,8 +502,12 @@ class PoseidonClient(DriverPrimitive):
             self._tree = self._builder.build(arr, h, self._param.tree_mode)
 
     def wait_result(self) -> None:
+        """Block until the async tree build completes (result-drain poll
+        analog, poseidon_api.rs:128-145: layers are emitted while leaves
+        stream; here they are in-flight JAX dispatches)."""
         with timed(self._timings, "wait_s"):
-            pass  # build() is synchronous today; async variant TBD
+            if self._tree is not None:
+                self._tree.block_until_ready()
 
     def result(self, expected_count: Optional[int] = None):
         """Drain records (poseidon_api.rs:128-145)."""

@@ -1,0 +1,138 @@
+"""Fused NTT on the real TPU: correctness + throughput, artifact-writing.
+
+1. bit-exact vs the portable XLA plan (an independent code path) at
+   mid sizes;
+2. delta-vector golden check: NTT(delta_k)[t] = W^(k*t), verified against
+   host bigint pow at sampled positions;
+3. forward+inverse roundtrip bit-exactness;
+4. throughput at the sweep sizes (u16 path, donated buffers).
+
+Writes experiments' results to NTT_TPU.json (driver-visible artifact).
+
+Env: BLZ_NTT_SIZES (csv logn, default "12,16,20"), BLZ_NTT_BIG (one logn
+for the big roundtrip run, default 24; set 27 for the reference-scale
+run), BLZ_NTT_ITERS (default 3).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from blaze_tpu.fields import FIELDS
+from blaze_tpu.fields.spec import int_to_limbs, limbs_to_int
+from blaze_tpu.ntt import FusedNTT, NTTPlan
+from blaze_tpu.utils.misc import hard_sync
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+SPEC = FIELDS[os.environ.get("BLZ_NTT_FIELD", "bls12_381_fr")]
+L = SPEC.nlimbs
+SIZES = [int(s) for s in os.environ.get("BLZ_NTT_SIZES", "12,16,20").split(",")]
+BIG = int(os.environ.get("BLZ_NTT_BIG", "24"))
+ITERS = int(os.environ.get("BLZ_NTT_ITERS", "3"))
+
+results = {"field": SPEC.name, "checks": [], "throughput": {}}
+fails = 0
+
+
+def rand_mont_u16(n, seed):
+    rng = np.random.default_rng(seed)
+    # random limbs < 2^16 give uniform-ish values; reduce mod p via int
+    raw = rng.integers(0, 1 << 16, size=(n, L), dtype=np.uint16)
+    # ensure < p: zero the top limb's high bits (p is ~255 bits)
+    raw[:, -1] &= 0x3FFF
+    return raw
+
+
+# ---- 1. cross-check vs portable plan ----------------------------------
+for logn in [s for s in SIZES if s <= 18]:
+    n = 1 << logn
+    x16 = rand_mont_u16(n, seed=logn)
+    x = jnp.asarray(x16.astype(np.uint32))
+    fused = FusedNTT(SPEC, logn)
+    plan = NTTPlan(SPEC, logn)
+    got_f = np.asarray(fused.ntt(x))
+    want_f = np.asarray(plan.ntt(x))
+    ok_f = bool((got_f == want_f).all())
+    got_i = np.asarray(fused.intt(x))
+    want_i = np.asarray(plan.intt(x))
+    ok_i = bool((got_i == want_i).all())
+    results["checks"].append(
+        {"kind": "vs_portable", "logn": logn, "fwd": ok_f, "inv": ok_i}
+    )
+    fails += (not ok_f) + (not ok_i)
+    print(f"2^{logn} vs portable: fwd={ok_f} inv={ok_i}", flush=True)
+
+# ---- 2+3. delta golden + roundtrip + throughput ------------------------
+for logn in SIZES + ([BIG] if BIG not in SIZES else []):
+    n = 1 << logn
+    fused = FusedNTT(SPEC, logn)
+
+    # delta golden: NTT(delta_k)[t] = W^(k*t)
+    rng = np.random.default_rng(1000 + logn)
+    k = int(rng.integers(0, n))
+    one_mont = int_to_limbs(SPEC.r % SPEC.p, L).astype(np.uint16)
+    x16 = np.zeros((n, L), dtype=np.uint16)
+    x16[k] = one_mont
+    X = fused.ntt16(jnp.asarray(x16))
+    w = SPEC.root_of_unity(logn)
+    ts = rng.integers(0, n, size=32)
+    samp = np.asarray(X[jnp.asarray(ts)], dtype=np.uint32)
+    ok_delta = all(
+        limbs_to_int(samp[i]) == (pow(w, (k * int(t)) % n, SPEC.p) * SPEC.r)
+        % SPEC.p
+        for i, t in enumerate(ts)
+    )
+    results["checks"].append({"kind": "delta", "logn": logn, "ok": ok_delta})
+    fails += not ok_delta
+    print(f"2^{logn} delta golden (k={k}): {ok_delta}", flush=True)
+    del X
+
+    # roundtrip
+    x16 = rand_mont_u16(n, seed=logn + 7)
+    ref = x16.copy()
+    y = fused.ntt16(jnp.asarray(x16))
+    hard_sync(y)
+    back = np.asarray(fused.intt16(y), dtype=np.uint16)
+    ok_rt = bool((back == ref).all())
+    results["checks"].append({"kind": "roundtrip", "logn": logn, "ok": ok_rt})
+    fails += not ok_rt
+    print(f"2^{logn} fwd+inv roundtrip: {ok_rt}", flush=True)
+    del y, back
+
+    # throughput (forward, donated u16)
+    best = float("inf")
+    for _ in range(ITERS):
+        xd = jnp.asarray(ref)
+        hard_sync(xd)
+        t0 = time.perf_counter()
+        out = fused.ntt16(xd)
+        hard_sync(out)
+        best = min(best, time.perf_counter() - t0)
+        del out
+    eps = n / best
+    results["throughput"][f"2^{logn}"] = {
+        "elems_per_s": round(eps, 1),
+        "ms": round(best * 1e3, 2),
+        "parts": fused.parts,
+    }
+    print(f"2^{logn} fwd: {best*1e3:.1f} ms = {eps/1e6:.1f} M elems/s",
+          flush=True)
+
+results["ok"] = fails == 0
+with open("/root/repo/NTT_TPU.json", "w") as f:
+    json.dump(results, f, indent=1)
+print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)
