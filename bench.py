@@ -1,42 +1,53 @@
 #!/usr/bin/env python
-"""Headline benchmark: BLS12-381 MSM throughput (points/sec) on one chip.
+"""Headline benchmark: all three primitives on one chip.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints exactly one JSON line.  The headline metric is the BLS12-381 MSM
+(points/sec); the `extra` field carries the NTT and Poseidon metrics and
+per-metric HBM speed-of-light fractions (bench/profile.py), mirroring the
+reference's perf-counter surface (msm_hw_code.rs:35-54) and its criterion
+NTT bench (benches/ntt_bench.rs:33-42):
+
+  {"metric": "bls12_381_msm_2^24", "value": N, "unit": "points/sec",
+   "vs_baseline": N, "extra": {"ntt_2^24": {...}, "poseidon_2^14": {...}}}
 
 The reference publishes no numbers (BASELINE.md: its README benchmark link
 is an unfilled placeholder and CI never touches hardware), so vs_baseline
 is measured against the recorded value of the previous round when present
-(BENCH_PREV.json), else 1.0.
+(BENCH_PREV.json, updated only under BLZ_BENCH_RECORD=1), else 1.0.
 
-Env knobs: BLZ_BENCH_LOGN (default 18), BLZ_BENCH_CURVE (bls12_381),
-BLZ_BENCH_ITERS (default 3).
+Env knobs: BLZ_BENCH_LOGN (default 24), BLZ_BENCH_CURVE (bls12_381),
+BLZ_BENCH_ITERS (default 3), BLZ_BENCH_NTT_LOGN (default 24),
+BLZ_BENCH_POSEIDON_LOGL (default 14, leaves = 2^14), BLZ_BENCH_ONLY
+(csv of msm,ntt,poseidon to restrict).
 """
 import json
 import os
 import sys
 import time
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+PREV_PATH = os.path.join(HERE, "BENCH_PREV.json")
 
-def main():
+
+def _sync(x):
+    # block_until_ready can return before execution completes on
+    # tunneled platforms; a 1-element device_get is a true barrier.
     import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
     import numpy as np
+
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0:1]))
+
+
+def bench_msm(logn: int, curve_name: str, iters: int) -> dict:
+    import jax
     import jax.numpy as jnp
 
+    from blaze_tpu.bench.profile import speed_of_light
     from blaze_tpu.curves import CURVES, Curve
     from blaze_tpu.msm import MSM, MSMConfig
+    from blaze_tpu.oracle import tiled_msm_instance
 
-    logn = int(os.environ.get("BLZ_BENCH_LOGN", "22"))
-    curve_name = os.environ.get("BLZ_BENCH_CURVE", "bls12_381")
-    iters = int(os.environ.get("BLZ_BENCH_ITERS", "3"))
     n = 1 << logn
-
     spec = CURVES[curve_name]
     curve = Curve(spec)
     # chunk at 2^20 points per device pass: the sorted/emitted u16 scan
@@ -48,8 +59,6 @@ def main():
     # Synthetic but valid inputs: tile a small set of real curve points
     # (the reference's own trick, tests/msm/mod.rs:23-31) — throughput does
     # not depend on point values.
-    from blaze_tpu.oracle import tiled_msm_instance
-
     points, scalars, _, _ = tiled_msm_instance(spec, n, seed=123)
     if jax.default_backend() == "tpu":
         # Lanes-major xy-packed residency (msm/residency.py) — the same
@@ -61,61 +70,218 @@ def main():
     else:
         pts = curve.fq.to_mont(jnp.asarray(points))
         scal = jnp.asarray(scalars)
+    _sync((pts, scal))
 
-    def sync(x):
-        # block_until_ready can return before execution completes on
-        # tunneled platforms; a 1-element device_get is a true barrier.
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0:1]))
-
-    sync((pts, scal))
-
-    # warmup / compile
-    out = msm(pts, scal)
-    sync(out)
-
+    out = msm(pts, scal)  # warmup / compile
+    _sync(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = msm(pts, scal)
-        sync(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
 
-    pps = n / best
+    # Speed-of-light: the minimum HBM traffic of an MSM is one read of the
+    # resident operands (xy-packed points + u16 scalar limbs); everything
+    # else (sort, scan emissions) is algorithmic overhead this fraction
+    # charges against.
+    fq_l, fr_l = spec.fq.nlimbs, spec.fr.nlimbs
+    min_bytes = n * (fq_l * 4 + fr_l * 2)
+    sol = (min_bytes / best) / (speed_of_light().hbm_gbps * 1e9)
+    return {
+        "metric": f"{curve_name}_msm_2^{logn}",
+        "value": round(n / best, 1),
+        "unit": "points/sec",
+        "ms": round(best * 1e3, 2),
+        "sol_fraction": round(sol, 4),
+    }
 
-    metric = f"{curve_name}_msm_2^{logn}"
-    prev_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_PREV.json")
-    hist = {}
-    if os.path.exists(prev_path):
-        try:
-            hist = json.load(open(prev_path))
-            if "metric" in hist:        # legacy single-record format
-                hist = {hist["metric"]: hist.get("value")}
-        except Exception:
-            hist = {}
+
+def bench_ntt(logn: int, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blaze_tpu.bench.profile import speed_of_light
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.ntt import make_ntt
+
+    spec = FIELDS["bls12_381_fr"]
+    n = 1 << logn
+    plan = make_ntt(spec, logn)
+    rng = np.random.default_rng(7)
+    x16 = rng.integers(0, 1 << 16, size=(n, spec.nlimbs), dtype=np.uint16)
+    x16[:, -1] &= 0x3FFF  # < p
+
+    use16 = hasattr(plan, "ntt16") and jax.default_backend() == "tpu"
+    if use16 and plan.ntt_blocked_available():
+        # zero-padding blocked boundary layout (flat (n, 16) u16 is
+        # 8x-padded by the TPU tiling — OOM at 2^26)
+        fn = plan.ntt16b
+        xb = plan.to_blocked(x16)
+        make_in = lambda: jnp.asarray(xb)
+    elif use16:
+        fn = plan.ntt16          # donated u16 in/out — the 4 GiB/buffer path
+        make_in = lambda: jnp.asarray(x16)
+    else:
+        fn = plan.ntt
+        xdev = jnp.asarray(x16.astype(np.uint32))
+        make_in = lambda: xdev
+
+    out = fn(make_in())  # warmup/compile
+    _sync(out)
+    del out
+    best = float("inf")
+    for _ in range(iters):
+        xd = make_in()
+        _sync(xd)
+        t0 = time.perf_counter()
+        out = fn(xd)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+        del out
+
+    # SOL: minimum traffic = read + write of the n * 32 B buffer once.
+    min_bytes = 2 * n * spec.nbytes
+    sol = (min_bytes / best) / (speed_of_light().hbm_gbps * 1e9)
+    return {
+        "metric": f"ntt_2^{logn}",
+        "value": round(n / best, 1),
+        "unit": "elems/sec",
+        "ms": round(best * 1e3, 2),
+        "sol_fraction": round(sol, 4),
+    }
+
+
+def bench_poseidon(logl: int, iters: int) -> dict:
+    """Merkle-tree build throughput at 2^logl leaves (BASELINE config 2 is
+    2^14), TreeC mode: 11 elements column-hashed per leaf
+    (integration_poseidon.rs:151-155), then the 8-ary node layers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blaze_tpu.bench.profile import speed_of_light
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.hash.tree import LEAF_ARITY, MerkleTreeBuilder, TreeMode
+
+    spec = FIELDS["bls12_381_fr"]
+    nleaves = 1 << logl
+    builder = MerkleTreeBuilder(spec)
+    rng = np.random.default_rng(9)
+    elems = rng.integers(
+        0, 1 << 16, size=(nleaves, LEAF_ARITY, spec.nlimbs), dtype=np.uint16
+    ).astype(np.uint32)
+    elems[..., -1] &= 0x3FFF
+    # height: full 8-ary tree over nleaves (8^(h-1) = nleaves)
+    height = 1 + (logl + 2) // 3
+    assert 8 ** (height - 1) == nleaves
+
+    tree = builder.build(elems, height, TreeMode.TREE_C)  # warmup/compile
+    tree.block_until_ready()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        tree = builder.build(elems, height, TreeMode.TREE_C)
+        tree.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    min_bytes = nleaves * (LEAF_ARITY + 1) * spec.nbytes  # read cols, write leaf
+    sol = (min_bytes / best) / (speed_of_light().hbm_gbps * 1e9)
+    return {
+        "metric": f"poseidon_2^{logl}_leaves",
+        "value": round(nleaves / best, 1),
+        "unit": "leaves/sec",
+        "ms": round(best * 1e3, 2),
+        "sol_fraction": round(sol, 4),
+    }
+
+
+def _history() -> dict:
+    if not os.path.exists(PREV_PATH):
+        return {}
+    try:
+        hist = json.load(open(PREV_PATH))
+        if "metric" in hist:        # legacy single-record format
+            hist = {hist["metric"]: hist.get("value")}
+        return hist
+    except Exception:
+        return {}
+
+
+def _vs_baseline(hist: dict, metric: str, value: float) -> float:
     prev = hist.get(metric)
-    # points/sec is scale-free: fall back to any recorded size of the same
-    # curve so round-over-round comparisons survive a headline-size bump.
     if not prev:
+        # scale-free fallback: any recorded size of the same family, so
+        # round-over-round comparisons survive a headline-size bump
+        fam = metric.rsplit("_2^", 1)[0]
         for k, v in hist.items():
-            if k.startswith(f"{curve_name}_msm") and v:
+            if k.rsplit("_2^", 1)[0] == fam and v:
                 prev = v
                 break
-    vs = pps / prev if prev else 1.0
+    return round(value / prev, 3) if prev else 1.0
 
-    rec = {
-        "metric": metric,
-        "value": round(pps, 1),
-        "unit": "points/sec",
-        "vs_baseline": round(vs, 3),
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    logn = int(os.environ.get("BLZ_BENCH_LOGN", "24"))
+    curve_name = os.environ.get("BLZ_BENCH_CURVE", "bls12_381")
+    iters = int(os.environ.get("BLZ_BENCH_ITERS", "3"))
+    ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", "24"))
+    pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "14"))
+    only = set(
+        s for s in os.environ.get("BLZ_BENCH_ONLY", "msm,ntt,poseidon").split(",")
+        if s
+    )
+
+    hist = _history()
+    recs = []
+    errors = {}
+    for name, runner in (
+        ("msm", lambda: bench_msm(logn, curve_name, iters)),
+        ("ntt", lambda: bench_ntt(ntt_logn, iters)),
+        ("poseidon", lambda: bench_poseidon(pos_logl, iters)),
+    ):
+        if name not in only:
+            continue
+        try:
+            rec = runner()
+            rec["vs_baseline"] = _vs_baseline(hist, rec["metric"], rec["value"])
+            recs.append(rec)
+        except Exception as e:  # one primitive failing must not hide the rest
+            errors[name] = f"{type(e).__name__}: {e}"
+
+    if not recs:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                          "vs_baseline": 0, "errors": errors}))
+        return 1
+
+    head = recs[0]
+    out = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "extra": {r["metric"]: {k: v for k, v in r.items() if k != "metric"}
+                  for r in recs[1:]},
+        "sol_fraction": head.get("sol_fraction"),
     }
-    print(json.dumps(rec))
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
     # BENCH_PREV is the round-over-round baseline: only update it when
     # explicitly recording (end-of-round), so local tuning runs can't
     # erase the previous round's value and fake vs_baseline = 1.0.
     if os.environ.get("BLZ_BENCH_RECORD"):
         try:
-            hist[metric] = rec["value"]
-            json.dump(hist, open(prev_path, "w"))
+            for r in recs:
+                hist[r["metric"]] = r["value"]
+            json.dump(hist, open(PREV_PATH, "w"))
         except Exception:
             pass
     return 0

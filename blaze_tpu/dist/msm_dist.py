@@ -43,10 +43,27 @@ class DistributedMSM:
             d = gathered.shape[0]
         return gathered[0]
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _run(self, points, scalars, c: int, scalar_bits=None):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _run(self, points, scalars, c: int, scalar_bits=None, fused=False):
         def local(pts, scal):
-            wsums = self.engine.msm_chunk(pts, scal, c, scalar_bits)
+            if fused:
+                # Per-shard chunked fused-kernel path: the same Pallas
+                # scan/reduce kernels as single-chip MSM (msm/pippenger.py
+                # _fused_chunk), so multi-chip throughput scales from the
+                # fast local baseline, not the portable one.
+                n = pts.shape[0]
+                chunk = 1 << self.engine.config.chunk_log2
+                wsums = None
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    part = self.engine._fused_chunk(
+                        pts[lo:hi], scal[lo:hi], c, scalar_bits
+                    )
+                    wsums = part if wsums is None else self.curve.add(
+                        wsums, part
+                    )
+            else:
+                wsums = self.engine.msm_chunk(pts, scal, c, scalar_bits)
             gathered = jax.lax.all_gather(wsums, self.axis)      # (D, W, 3, L)
             total = self._reduce_wsums(gathered)
             return self.engine.fold_windows(total, c)            # (3, L)
@@ -83,5 +100,6 @@ class DistributedMSM:
             # trace-time kernel gating must match the mesh's platform, not
             # the default backend (virtual CPU meshes under a TPU default)
             with portable_only():
-                return self._run(pts, scal, c, scalar_bits)
-        return self._run(pts, scal, c, scalar_bits)
+                return self._run(pts, scal, c, scalar_bits, False)
+        return self._run(pts, scal, c, scalar_bits,
+                         self.engine.config.fused_active())

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..native import codec as _native
 from .spec import FieldSpec
+
+# Below this, numpy's vectorized astype wins over the ctypes call overhead.
+_NATIVE_MIN_BYTES = 1 << 22
 
 
 def bytes_to_limbs(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
@@ -25,6 +29,8 @@ def bytes_to_limbs(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
     ) else np.asarray(data, dtype=np.uint8)
     if buf.size % spec.nbytes:
         raise ValueError(f"buffer size {buf.size} not multiple of {spec.nbytes}")
+    if buf.size >= _NATIVE_MIN_BYTES and _native.have_native():
+        return _native.bytes_to_limbs(np.ascontiguousarray(buf), spec.nbytes)
     u16 = buf.view("<u2").reshape(-1, spec.nlimbs)
     return u16.astype(np.uint32)
 
@@ -32,4 +38,6 @@ def bytes_to_limbs(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
 def limbs_to_bytes(limbs: np.ndarray, spec: FieldSpec) -> bytes:
     """uint32[..., nlimbs] (canonical domain) -> LE bytes."""
     arr = np.asarray(limbs, dtype=np.uint32).reshape(-1, spec.nlimbs)
+    if arr.nbytes >= 2 * _NATIVE_MIN_BYTES and _native.have_native():
+        return _native.limbs_to_bytes(np.ascontiguousarray(arr), spec.nbytes)
     return arr.astype("<u2").tobytes()

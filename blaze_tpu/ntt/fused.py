@@ -59,7 +59,8 @@ class FusedNTT:
     Montgomery-form limbs, natural order in and out."""
 
     def __init__(self, spec: FieldSpec, logn: int, klog: int = KLOG,
-                 slab_lanes: int = SLAB_LANES, interpret: bool = False):
+                 slab_lanes: int = SLAB_LANES, interpret: bool = False,
+                 block: int = 128):
         if logn > spec.two_adicity:
             raise ValueError(
                 f"{spec.name}: 2-adicity {spec.two_adicity} < logn {logn}"
@@ -69,6 +70,7 @@ class FusedNTT:
         self.logn = logn
         self.n = 1 << logn
         self.parts = split_parts(logn, klog)
+        self.block = block          # blocked-layout lane count (see below)
         self._slab = slab_lanes
         self.kern = NTTKernels.for_spec(spec, interpret)
 
@@ -224,3 +226,76 @@ class FusedNTT:
             lambda x: self._rec(x[..., None], 0, True)[..., 0],
             donate_argnums=0,
         )
+
+    # ---- lane-blocked boundary layout -----------------------------------
+    #
+    # A flat (K, L) u16 array has a 16-lane minor axis: the TPU tiles it
+    # (8, 128), an 8x HBM expansion — 16 GiB for the 2 GiB 2^26 buffer
+    # (measured OOM: "Unpadded (2.00G) Padded (16.00G)").  The BLOCKED
+    # layout (K/128, L, 128) — element k at [k//128, :, k%128] — is
+    # exactly one native tile per (row, limb) group: zero padding, and the
+    # depth-0 column split consumes it with one friendly transpose.  This
+    # is the layout NTT buffers should LIVE in at 2^26/2^27 scale (the
+    # analog of the reference's bank-strided residency, ntt_data.rs:80-111).
+
+    def _blocked_ok(self) -> bool:
+        a = self.parts[0]
+        C = self.n >> a
+        return (
+            len(self.parts) > 1
+            and C % self.block == 0
+            and (1 << a) % self.block == 0
+        )
+
+    def to_blocked(self, x16):
+        """Host numpy (K, L) u16 -> (K/block, L, block) blocked."""
+        K, L = np.shape(x16)
+        T = self.block
+        return np.ascontiguousarray(
+            np.asarray(x16, np.uint16).reshape(K // T, T, L).swapaxes(1, 2)
+        )
+
+    def from_blocked(self, xb):
+        """Host numpy (K/block, L, block) -> (K, L) u16."""
+        xb = np.asarray(xb)
+        Kb, L, T = xb.shape
+        return np.ascontiguousarray(xb.swapaxes(1, 2)).reshape(Kb * T, L)
+
+    def _run_blocked(self, xb, inverse: bool):
+        """(K/block, L, block) u16 natural order -> same, transformed."""
+        if not self._blocked_ok():
+            raise ValueError(
+                f"blocked layout needs multi-level parts with A, C "
+                f">= {self.block} (logn={self.logn}, parts={self.parts})"
+            )
+        T = self.block
+        L = self.spec.nlimbs
+        a = self.parts[0]
+        A = 1 << a
+        C = self.n >> a
+        # element k = r*T + c = v*C + j (v leading on the depth-0 columns;
+        # j = m*T + c): r = v*(C/T) + m — a reshape + one transpose whose
+        # in/out minor dims are all >= a full tile.
+        x = xb.reshape(A, C // T, L, T)
+        x = jnp.moveaxis(x, 1, 2).reshape(A, L, C)
+        y = self._base(x, a, inverse)
+        y = self._apply_twiddle(y, 0, 1, inverse)
+        y = y.reshape(A, L, C, 1).transpose(2, 1, 0, 3).reshape(C, L, A)
+        z = self._rec(y, 1, inverse)                       # (C, L, A)
+        # output index u*A + v at z[u, :, v]; v = q*T + c ->
+        # blocked row r = u*(A/T) + q
+        zb = z.reshape(C, L, A // T, T)
+        return jnp.moveaxis(zb, 2, 1).reshape(self.n // T, L, T)
+
+    def ntt_blocked_available(self) -> bool:
+        return self._blocked_ok()
+
+    @functools.cached_property
+    def ntt16b(self):
+        """Forward NTT over the blocked u16 layout, input donated."""
+        return jax.jit(lambda x: self._run_blocked(x, False), donate_argnums=0)
+
+    @functools.cached_property
+    def intt16b(self):
+        """Inverse NTT over the blocked u16 layout, input donated."""
+        return jax.jit(lambda x: self._run_blocked(x, True), donate_argnums=0)

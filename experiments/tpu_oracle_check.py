@@ -1,9 +1,13 @@
 """Correctness check of the fused TPU MSM path against the CPU oracle.
 
 Small-N end-to-end checks across window widths, exercising every fused
-kernel (scan, reduce, dbl_n, fold_horner) plus the precompute mode.
+kernel (scan, reduce, dbl_n, fold_horner) plus the precompute mode, for
+all three reference curves (msm_cfg.rs:44-92).  Writes ORACLE_TPU.json
+(driver-visible artifact proving the fused path was green this round).
 """
+import json
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -32,7 +36,17 @@ def affine_of(curve, result):
 
 
 fails = 0
-for curve_name in ("bls12_381", "bn254"):
+cases = []
+
+
+def record(name, ok):
+    global fails
+    cases.append({"case": name, "ok": bool(ok)})
+    fails += not ok
+    print(f"{name}: {'OK' if ok else 'FAIL'}", flush=True)
+
+
+for curve_name in ("bls12_381", "bls12_377", "bn254"):
     spec = CURVES[curve_name]
     curve = Curve(spec)
     for n, c in ((64, 4), (256, 8), (1024, 15)):
@@ -40,10 +54,7 @@ for curve_name in ("bls12_381", "bn254"):
         points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=n + c)
         pts = curve.fq.to_mont(jnp.asarray(points))
         out = msm(pts, jnp.asarray(scalars), window_bits=c)
-        got = affine_of(curve, out)
-        ok = got == exp_aff
-        print(f"{curve_name} n={n} c={c}: {'OK' if ok else 'FAIL'}", flush=True)
-        fails += not ok
+        record(f"{curve_name} n={n} c={c}", affine_of(curve, out) == exp_aff)
 
 # precompute mode (factor 8) on the fused path
 spec = CURVES["bls12_381"]
@@ -54,14 +65,11 @@ points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=99)
 pts = curve.fq.to_mont(jnp.asarray(points))
 exp_pts = precompute_points(curve, pts, 8)
 out = msm.msm_precomputed(exp_pts, jnp.asarray(scalars), 8)
-got = affine_of(curve, out)
-ok = got == exp_aff
-print(f"bls12_381 precompute8 n={n}: {'OK' if ok else 'FAIL'}", flush=True)
-fails += not ok
+record(f"bls12_381 precompute8 n={n}", affine_of(curve, out) == exp_aff)
 
 # lanes-major xy-packed residency (the bench layout): (L, N) u32 points,
 # (Ls, N) u16 scalars, including the chunked-accumulation path
-for curve_name in ("bls12_381", "bn254"):
+for curve_name in ("bls12_381", "bls12_377", "bn254"):
     spec = CURVES[curve_name]
     curve = Curve(spec)
     L = spec.fq.nlimbs
@@ -75,11 +83,13 @@ for curve_name in ("bls12_381", "bn254"):
             np.ascontiguousarray(np.asarray(scalars).T), dtype=jnp.uint16
         )
         out = msm(pts_lm, scal_lm, window_bits=c)
-        got = affine_of(curve, out)
-        ok = got == exp_aff
-        print(f"{curve_name} lanes-major n={n} c={c} chunk=2^{chunk}: "
-              f"{'OK' if ok else 'FAIL'}", flush=True)
-        fails += not ok
+        record(f"{curve_name} lanes-major n={n} c={c} chunk=2^{chunk}",
+               affine_of(curve, out) == exp_aff)
 
+with open("/root/repo/ORACLE_TPU.json", "w") as f:
+    json.dump({"backend": jax.default_backend(),
+               "device": str(jax.devices()[0].device_kind),
+               "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+               "cases": cases, "ok": fails == 0}, f, indent=1)
 print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
 sys.exit(1 if fails else 0)

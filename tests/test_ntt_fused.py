@@ -71,3 +71,23 @@ def test_fused_three_level_roundtrip():
     assert fused.parts == [3, 2, 2]
     rt = np.asarray(fused.intt(fused.ntt(jnp.asarray(x))))
     assert (rt == x).all()
+
+
+def test_blocked_layout_roundtrip_and_match():
+    # blocked boundary layout (block=8 so interpreter sizes stay tiny):
+    # must be bit-identical to the flat u16 path and roundtrip exactly
+    logn = 7
+    x = rand_mont(1 << logn, seed=101).astype(np.uint16)
+    fused = FusedNTT(SPEC, logn, klog=3, interpret=True, block=8)
+    assert fused.ntt_blocked_available()
+    xb = fused.to_blocked(x)
+    assert (fused.from_blocked(xb) == x).all()
+
+    got = fused.from_blocked(np.asarray(fused.ntt16b(jnp.asarray(xb))))
+    want = np.asarray(fused.ntt16(jnp.asarray(x)))
+    assert (got == want).all()
+
+    rt = fused.from_blocked(
+        np.asarray(fused.intt16b(fused.ntt16b(jnp.asarray(xb))))
+    )
+    assert (rt == x).all()

@@ -1,0 +1,217 @@
+"""Fused-kernel path on real TPU hardware (skipped elsewhere).
+
+Run with `BLZ_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_fused.py`
+(conftest.py pins the rest of the suite to virtual CPU devices).  Covers
+every fused Pallas kernel — scan_mixed / reduce_cols / dbl_n / fold_horner
+against the portable group law, the lanes-major MSM end to end vs the CPU
+oracle for all three reference curves (msm_cfg.rs:44-92, incl. bls12_377),
+the fused NTT vs the portable plan, and the fused Poseidon permutation vs
+the host oracle.  The driver-visible artifacts ORACLE_TPU.json /
+NTT_TPU.json record the larger-scale equivalents (experiments/).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+CURVE_NAMES = ("bls12_381", "bls12_377", "bn254")
+
+
+def _curve(name):
+    from blaze_tpu.curves import CURVES, Curve
+
+    return Curve(CURVES[name])
+
+
+def _affine_of(curve, result):
+    aff = curve.to_affine(result[None])[0]
+    if np.asarray(curve.is_identity(result[None]))[0]:
+        return None
+    assert np.asarray(curve.on_curve(result[None]))[0], "off curve"
+    return (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+
+
+def _canon(curve, x):
+    return curve.fq._cond_sub_p(
+        jnp.asarray(x, jnp.uint32), jnp.zeros(np.asarray(x).shape[:-1],
+                                              jnp.uint32)
+    )
+
+
+# ------------------------------------------------------------ end to end
+@pytest.mark.parametrize("curve_name", CURVE_NAMES)
+def test_fused_msm_matches_oracle(curve_name):
+    from blaze_tpu.msm import MSM, MSMConfig
+    from blaze_tpu.oracle import tiled_msm_instance
+
+    curve = _curve(curve_name)
+    msm = MSM(curve, MSMConfig(fused="on"))
+    n, c = 256, 8
+    points, scalars, exp_aff, _ = tiled_msm_instance(curve.spec, n, seed=41)
+    pts = curve.fq.to_mont(jnp.asarray(points))
+    out = msm(pts, jnp.asarray(scalars), window_bits=c)
+    assert _affine_of(curve, out) == exp_aff
+
+
+@pytest.mark.parametrize("curve_name", CURVE_NAMES)
+def test_fused_msm_lanes_major(curve_name):
+    """The xy-packed residency layout (what MSMClient stages on TPU)."""
+    from blaze_tpu.msm import MSM, MSMConfig, points_to_resident
+    from blaze_tpu.msm.residency import scalars_to_resident
+    from blaze_tpu.oracle import tiled_msm_instance
+
+    curve = _curve(curve_name)
+    msm = MSM(curve, MSMConfig(fused="on"))
+    n, c = 512, 8
+    points, scalars, exp_aff, _ = tiled_msm_instance(curve.spec, n, seed=43)
+    pts_lm = points_to_resident(curve, jnp.asarray(points))
+    scal_lm = jnp.asarray(scalars_to_resident(np.asarray(scalars)))
+    out = msm(pts_lm, scal_lm, window_bits=c)
+    assert _affine_of(curve, out) == exp_aff
+
+
+# ------------------------------------------------------- kernel-by-kernel
+def _rand_points_mont(curve, n, seed):
+    from blaze_tpu.oracle import tiled_msm_instance
+
+    points, _, _, _ = tiled_msm_instance(curve.spec, n, seed=seed)
+    return curve.fq.to_mont(jnp.asarray(points))        # (n, 2, L) affine
+
+
+def test_scan_mixed_matches_portable():
+    from blaze_tpu.curves.kernels import ECKernels
+
+    curve = _curve("bls12_381")
+    kern = ECKernels.for_curve(curve.spec, tile=512)
+    L = curve.nlimbs
+    C, B = 5, 256
+    pts = _rand_points_mont(curve, C * B, seed=11).reshape(C, B, 2, L)
+
+    rows = jnp.moveaxis(pts.reshape(C, B, 2 * L), -1, 1).astype(jnp.uint16)
+    emitted, tot = kern.scan_mixed(rows)                # (C,3L,B) u16, (3L,B)
+
+    acc = jnp.broadcast_to(curve.identity(), (B, 3, L))
+    for i in range(C):
+        acc = curve.add_mixed(acc, pts[i])
+        got = _canon(
+            curve,
+            jnp.moveaxis(emitted[i].reshape(3, L, B), -1, 0),
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(acc))
+    got_tot = _canon(curve, jnp.moveaxis(tot.reshape(3, L, B), -1, 0))
+    np.testing.assert_array_equal(np.asarray(got_tot), np.asarray(acc))
+
+
+def test_reduce_cols_matches_portable():
+    from blaze_tpu.curves.kernels import ECKernels
+
+    curve = _curve("bls12_381")
+    kern = ECKernels.for_curve(curve.spec, tile=512)
+    L = curve.nlimbs
+    C, B = 7, 128
+    aff = _rand_points_mont(curve, C * B, seed=13).reshape(C, B, 2, L)
+    one = curve.fq.from_int([1])[0]
+    proj = jnp.concatenate(
+        [aff, jnp.broadcast_to(one, (C, B, 1, L))], axis=2
+    )                                                    # (C, B, 3, L)
+
+    rows = jnp.moveaxis(proj.reshape(C, B, 3 * L), -1, 1).astype(jnp.uint16)
+    tot = kern.reduce_cols(rows)                         # (3L, B)
+
+    want = proj[0]
+    for i in range(1, C):
+        want = curve.add(want, proj[i])
+    got = _canon(curve, jnp.moveaxis(tot.reshape(3, L, B), -1, 0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_dbl_n_matches_portable():
+    from blaze_tpu.curves.kernels import ECKernels
+
+    curve = _curve("bls12_381")
+    kern = ECKernels.for_curve(curve.spec, tile=512)
+    L = curve.nlimbs
+    B, k = 64, 6
+    aff = _rand_points_mont(curve, B, seed=17)
+    one = curve.fq.from_int([1])[0]
+    proj = jnp.concatenate([aff, jnp.broadcast_to(one, (B, 1, L))], axis=1)
+
+    lm = jnp.moveaxis(proj, 0, -1).reshape(3 * L, B)
+    out = kern.dbl_n(lm, k)
+
+    want = proj
+    for _ in range(k):
+        want = curve.dbl(want)
+    got = _canon(curve, jnp.moveaxis(out.reshape(3, L, B), -1, 0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fold_horner_matches_portable():
+    from blaze_tpu.curves.kernels import ECKernels
+    from blaze_tpu.msm import MSM
+
+    curve = _curve("bls12_381")
+    kern = ECKernels.for_curve(curve.spec, tile=512)
+    msm = MSM(curve)
+    L = curve.nlimbs
+    W, c = 9, 5
+    aff = _rand_points_mont(curve, W, seed=19)
+    one = curve.fq.from_int([1])[0]
+    wsums = jnp.concatenate([aff, jnp.broadcast_to(one, (W, 1, L))], axis=1)
+
+    lm = jnp.moveaxis(wsums, 0, -1).reshape(3 * L, W)
+    out = kern.fold_horner(lm, c)                        # (3L,)
+    got = _canon(curve, out.reshape(3, L))
+    want = msm.fold_windows(wsums, c)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ----------------------------------------------------------- NTT/Poseidon
+def test_fused_ntt_vs_portable():
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.ntt import FusedNTT, NTTPlan
+
+    spec = FIELDS["bls12_381_fr"]
+    logn = 12
+    rng = np.random.default_rng(23)
+    x16 = rng.integers(0, 1 << 16, size=(1 << logn, spec.nlimbs),
+                       dtype=np.uint16)
+    x16[:, -1] &= 0x3FFF
+    x = jnp.asarray(x16.astype(np.uint32))
+    fused = FusedNTT(spec, logn)
+    plan = NTTPlan(spec, logn)
+    np.testing.assert_array_equal(np.asarray(fused.ntt(x)),
+                                  np.asarray(plan.ntt(x)))
+    np.testing.assert_array_equal(np.asarray(fused.intt(x)),
+                                  np.asarray(plan.intt(x)))
+
+
+def test_fused_poseidon_vs_oracle():
+    import random
+
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.hash.kernels import PoseidonKernels
+    from blaze_tpu.hash.params import generate_params
+    from blaze_tpu.fields.spec import int_to_limbs, limbs_to_int
+    from blaze_tpu.oracle.poseidon_ref import poseidon_permutation_ref
+
+    spec = FIELDS["bls12_381_fr"]
+    L = spec.nlimbs
+    for t in (12, 9):
+        params = generate_params(spec, t)
+        kern = PoseidonKernels.for_params(params)        # real kernel, no interpret
+        rng = random.Random(29 + t)
+        state = [rng.randrange(spec.p) for _ in range(t)]
+        mont = np.stack(
+            [int_to_limbs((v * spec.r) % spec.p, L) for v in state]
+        ).astype(np.uint32)
+        out = np.asarray(kern.permute_lm(jnp.asarray(mont)[..., None]))[..., 0]
+        want = poseidon_permutation_ref(params, state)
+        rinv = pow(spec.r, -1, spec.p)
+        got = [(limbs_to_int(out[i]) * rinv) % spec.p for i in range(t)]
+        assert got == want, f"t={t}"
