@@ -152,15 +152,19 @@ class PoseidonKernels(PallasFieldOps):
             x_ref, o_ref = refs[ngroups], refs[ngroups + 1]
             mnp, mp = mnp_ref[:], mp_ref[:]
             state = x_ref[:].astype(jnp.uint32)       # (t, L, T)
-            rc = rc_ref[:]                            # (rounds, t, L, 1)
 
+            # Round constants are loaded per round FROM THE REF with the
+            # traced round index: `rc_ref[:][r]` is a dynamic_slice on a
+            # VALUE, which Mosaic cannot lower (interpret mode tolerates
+            # it — caught on hardware by tests/test_tpu_fused.py); a
+            # dynamic leading-axis read of a VMEM ref lowers fine.
             def full_round(r, s):
-                s = self._add_f(s, rc[r])
+                s = self._add_f(s, rc_ref[r])
                 s = self._sbox(s, mnp, mp)
                 return self._mds_mxu(s, bms, mnp, mp)
 
             def partial_round(r, s):
-                s = self._add_f(s, rc[r])
+                s = self._add_f(s, rc_ref[r])
                 s0 = self._sbox(s[:1], mnp, mp)
                 s = jnp.concatenate([s0, s[1:]], axis=0)
                 return self._mds_mxu(s, bms, mnp, mp)

@@ -14,6 +14,7 @@ the PJRT runtime replaces the transport; what remains useful is:
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Optional, Sequence
@@ -90,6 +91,20 @@ class DeviceContext:
             )
         except Exception:
             return -1
+
+    # ----------------------------------------------------------- profiler
+    @contextlib.contextmanager
+    def profile(self, trace_dir: str):
+        """Capture a device profile around a block — the TPU analog of the
+        reference's hardware perf counters (per-phase busy/total clocks and
+        FIFO occupancy, msm_hw_code.rs:35-54).  Writes a TensorBoard /
+        Perfetto trace with per-kernel device times to `trace_dir`:
+
+            with ctx.profile("/tmp/msm_trace"):
+                client.start_process(); client.wait_result()
+        """
+        with jax.profiler.trace(trace_dir):
+            yield
 
     # ---------------------------------------------------------- 'binary'
     def load_binary(self, warmup_fns: Sequence) -> float:

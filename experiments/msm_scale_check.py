@@ -1,0 +1,97 @@
+"""MSM at reference-max scale on the real TPU: 2^24 and 2^26 (the
+reference's largest tested size, integration_msm.rs:389,574), lanes-major
+residency, fused path, ORACLE-EXACT — the tiled-instance trick makes the
+expected value cheap at any size (tests/msm/mod.rs:23-31).
+
+Writes MSM_TPU.json (driver-visible artifact).
+
+Env: BLZ_MSM_SIZES (csv logn, default "24,26"), BLZ_MSM_ITERS (default 2),
+BLZ_MSM_CURVE (default bls12_381).
+"""
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from blaze_tpu.curves import CURVES, Curve
+from blaze_tpu.msm import MSM, MSMConfig, points_to_resident, scalars_to_resident
+from blaze_tpu.oracle import tiled_msm_instance
+from blaze_tpu.utils.misc import hard_sync
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+SIZES = [int(s) for s in os.environ.get("BLZ_MSM_SIZES", "24,26").split(",")]
+ITERS = int(os.environ.get("BLZ_MSM_ITERS", "2"))
+CURVE = os.environ.get("BLZ_MSM_CURVE", "bls12_381")
+
+ART = "/root/repo/MSM_TPU.json"
+results = {"curve": CURVE, "runs": {}}
+if os.path.exists(ART):
+    try:
+        old = json.load(open(ART))
+        if old.get("curve") == CURVE:
+            results["runs"] = old.get("runs", {})
+    except Exception:
+        pass
+
+spec = CURVES[CURVE]
+curve = Curve(spec)
+fails = 0
+
+for logn in SIZES:
+    n = 1 << logn
+    msm = MSM(curve, MSMConfig(chunk_log2=min(logn, 20)))
+    print(f"2^{logn}: generating tiled instance...", flush=True)
+    points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=1000 + logn)
+    print(f"2^{logn}: staging residency...", flush=True)
+    pts = points_to_resident(curve, points)
+    scal = jnp.asarray(scalars_to_resident(scalars))
+    del points, scalars
+    gc.collect()
+    hard_sync((pts, scal))
+
+    print(f"2^{logn}: warmup/compile...", flush=True)
+    out = msm(pts, scal)
+    hard_sync(out)
+
+    # correctness: fold result vs the tiled oracle expectation
+    aff = curve.to_affine(out[None])[0]
+    got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+    ok = got == exp_aff and bool(np.asarray(curve.on_curve(out[None]))[0])
+    fails += not ok
+    print(f"2^{logn}: oracle {'OK' if ok else 'FAIL'}", flush=True)
+
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = msm(pts, scal)
+        hard_sync(out)
+        best = min(best, time.perf_counter() - t0)
+    pps = n / best
+    results["runs"][f"2^{logn}"] = {
+        "points_per_s": round(pps, 1),
+        "ms": round(best * 1e3, 2),
+        "oracle_exact": ok,
+    }
+    print(f"2^{logn}: {best*1e3:.0f} ms = {pps/1e6:.3f} M pts/s", flush=True)
+    del pts, scal, out
+    gc.collect()
+
+results["ok"] = fails == 0
+with open(ART, "w") as f:
+    json.dump(results, f, indent=1)
+print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)

@@ -55,12 +55,19 @@ if os.environ.get("BLZ_NTT_MERGE", "1") == "1" and os.path.exists(ART):
         pass
 
 
+def save():
+    with open(ART, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def record_check(rec):
-    """Upsert by (kind, logn)."""
+    """Upsert by (kind, logn); persists immediately (long runs get killed)."""
     results["checks"] = [
         c for c in results["checks"]
         if (c["kind"], c["logn"]) != (rec["kind"], rec["logn"])
     ] + [rec]
+    results["checks"].sort(key=lambda c: (c["logn"], c["kind"]))
+    save()
 
 
 fails = 0
@@ -167,15 +174,14 @@ for logn in SIZES + ([BIG] if BIG not in SIZES else []):
         "parts": fused.parts,
         "layout": "blocked" if blocked else "flat",
     }
+    save()
     print(f"2^{logn} fwd: {best*1e3:.1f} ms = {eps/1e6:.1f} M elems/s",
           flush=True)
 
-results["checks"].sort(key=lambda c: (c["logn"], c["kind"]))
 results["ok"] = fails == 0 and all(
     c.get("ok", c.get("fwd", True) and c.get("inv", True))
     for c in results["checks"]
 )
-with open("/root/repo/NTT_TPU.json", "w") as f:
-    json.dump(results, f, indent=1)
+save()
 print("ALL-OK" if fails == 0 else f"FAILURES: {fails}")
 sys.exit(1 if fails else 0)

@@ -28,6 +28,10 @@ jax.config.update("jax_enable_x64", False)
 
 # The box has a single vCPU and XLA:CPU compiles the big-integer graphs
 # slowly; the persistent cache makes every compile a one-time cost.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# BLZ_JAX_CACHE points the suite at a private copy when another process
+# (e.g. a TPU bench) is using the shared one — concurrent readers of a
+# cache being written have segfaulted zstd decompression.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BLZ_JAX_CACHE", "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -41,15 +41,18 @@ def test_msm_bls12_381():
     run_msm("bls12_381", 257, seed=3, window_bits=8)
 
 
+@pytest.mark.slow
 def test_msm_bls12_377():
     run_msm("bls12_377", 64, seed=4, window_bits=8)
 
 
+@pytest.mark.slow
 def test_msm_tiled_large():
     # the reference's tiled-generation trick for big-N oracle checks
     run_msm("bn254", 1 << 12, seed=5, window_bits=8, tiled=True)
 
 
+@pytest.mark.slow
 def test_msm_chunked():
     # force multiple chunks through the accumulation path
     run_msm(

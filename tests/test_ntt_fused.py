@@ -63,6 +63,7 @@ def test_fused_matches_portable(logn, klog):
     ).all()
 
 
+@pytest.mark.slow
 def test_fused_three_level_roundtrip():
     # parts [3, 2, 2]: exercises depth-2 recursion + both twiddle nodes
     logn = 7
@@ -73,6 +74,7 @@ def test_fused_three_level_roundtrip():
     assert (rt == x).all()
 
 
+@pytest.mark.slow
 def test_blocked_layout_roundtrip_and_match():
     # blocked boundary layout (block=8 so interpreter sizes stay tiny):
     # must be bit-identical to the flat u16 path and roundtrip exactly

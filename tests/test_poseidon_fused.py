@@ -7,6 +7,7 @@ partial rounds, byte-matrix MDS, group splitting (t = 12 exercises the
 import random
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def _check_t(t, batch=3, seed=77):
         assert got == want, f"t={t} batch row {bi}"
 
 
+@pytest.mark.slow
 def test_fused_permutation_t12():
     _check_t(12)
 

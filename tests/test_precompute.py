@@ -56,6 +56,7 @@ def test_msm_precomputed_matches_plain():
     assert got == expected
 
 
+@pytest.mark.slow
 def test_msm_client_precompute_sweep_with_timings():
     """Client-level sweep over precompute factors, recording the
     set_data/wait/total surface (RunResults, integration_msm.rs:265-282).

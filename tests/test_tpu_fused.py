@@ -127,7 +127,11 @@ def test_reduce_cols_matches_portable():
     for i in range(1, C):
         want = curve.add(want, proj[i])
     got = _canon(curve, jnp.moveaxis(tot.reshape(3, L, B), -1, 0))
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # Projective representatives are not unique (the kernel's fold starts
+    # from the identity, which λ-scales the RCB output) — compare affine.
+    np.testing.assert_array_equal(
+        np.asarray(curve.to_affine(got)), np.asarray(curve.to_affine(want))
+    )
 
 
 def test_dbl_n_matches_portable():
