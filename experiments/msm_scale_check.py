@@ -51,13 +51,42 @@ spec = CURVES[CURVE]
 curve = Curve(spec)
 fails = 0
 
+
+def save():
+    with open(ART, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def stage_points(curve, points):
+    """Residency staging bounded to ~one slice of transient HBM: a
+    preallocated (L, N) u32 buffer filled by donated dynamic updates (the
+    naive concat doubles the 6 GiB footprint at 2^26 -> ResourceExhausted)."""
+    from blaze_tpu.msm.residency import _SLICE, _conv_fn
+
+    conv = _conv_fn(curve, False)
+    n = points.shape[0]
+    L = curve.nlimbs
+    buf = jnp.zeros((L, n), jnp.uint32)
+
+    upd = jax.jit(
+        lambda b, part, lo: jax.lax.dynamic_update_slice(b, part, (0, lo)),
+        donate_argnums=0,
+    )
+    for lo in range(0, n, _SLICE):
+        part = conv(jnp.asarray(points[lo : lo + _SLICE]))
+        buf = upd(buf, part, jnp.int32(lo))
+    return buf
+
+
 for logn in SIZES:
     n = 1 << logn
-    msm = MSM(curve, MSMConfig(chunk_log2=min(logn, 20)))
+    # chunk 2^19 above 2^24: the per-chunk gather/emit transients of a
+    # 2^20 chunk (~8 GiB) plus 8 GiB of 2^26 residency exceed v5e HBM
+    msm = MSM(curve, MSMConfig(chunk_log2=min(logn, 20 if logn <= 24 else 19)))
     print(f"2^{logn}: generating tiled instance...", flush=True)
     points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=1000 + logn)
     print(f"2^{logn}: staging residency...", flush=True)
-    pts = points_to_resident(curve, points)
+    pts = stage_points(curve, points)
     scal = jnp.asarray(scalars_to_resident(scalars))
     del points, scalars
     gc.collect()
@@ -86,6 +115,7 @@ for logn in SIZES:
         "ms": round(best * 1e3, 2),
         "oracle_exact": ok,
     }
+    save()
     print(f"2^{logn}: {best*1e3:.0f} ms = {pps/1e6:.3f} M pts/s", flush=True)
     del pts, scal, out
     gc.collect()
