@@ -17,7 +17,7 @@ is measured against the recorded value of the previous round when present
 
 Env knobs: BLZ_BENCH_LOGN (default 24), BLZ_BENCH_CURVE (bls12_381),
 BLZ_BENCH_ITERS (default 3), BLZ_BENCH_NTT_LOGN (default 24),
-BLZ_BENCH_POSEIDON_LOGL (default 14, leaves = 2^14), BLZ_BENCH_ONLY
+BLZ_BENCH_POSEIDON_LOGL (default 15, leaves = 2^15 = 8^5), BLZ_BENCH_ONLY
 (csv of msm,ntt,poseidon to restrict).
 """
 import json
@@ -154,9 +154,13 @@ def bench_ntt(logn: int, iters: int) -> dict:
 
 
 def bench_poseidon(logl: int, iters: int) -> dict:
-    """Merkle-tree build throughput at 2^logl leaves (BASELINE config 2 is
-    2^14), TreeC mode: 11 elements column-hashed per leaf
-    (integration_poseidon.rs:151-155), then the 8-ary node layers."""
+    """Merkle-tree build throughput at 2^logl leaves, TreeC mode: 11
+    elements column-hashed per leaf (integration_poseidon.rs:151-155),
+    then the 8-ary node layers.  logl must be a multiple of 3 (the base
+    layer of an 8-ary tree is 8^(h-1), utils.rs:12-14) — the default 2^15
+    covers BASELINE config 2's 2^14."""
+    if logl % 3:
+        raise ValueError(f"8-ary tree base must be a power of 8 (logl={logl})")
     import jax.numpy as jnp
     import numpy as np
 
@@ -232,7 +236,7 @@ def main():
     curve_name = os.environ.get("BLZ_BENCH_CURVE", "bls12_381")
     iters = int(os.environ.get("BLZ_BENCH_ITERS", "3"))
     ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", "24"))
-    pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "14"))
+    pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "15"))
     only = set(
         s for s in os.environ.get("BLZ_BENCH_ONLY", "msm,ntt,poseidon").split(",")
         if s
