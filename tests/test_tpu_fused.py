@@ -219,3 +219,25 @@ def test_fused_poseidon_vs_oracle():
         rinv = pow(spec.r, -1, spec.p)
         got = [(limbs_to_int(out[i]) * rinv) % spec.p for i in range(t)]
         assert got == want, f"t={t}"
+
+
+def test_dist_fused_single_device_mesh():
+    """DistributedMSM routes shards through the fused Pallas chunk path on
+    a TPU mesh (msm_dist.py: fused=True under shard_map) — verified
+    oracle-exact on a 1-device mesh (multi-chip isn't available here; the
+    8-virtual-device CPU dryrun covers the collective layout)."""
+    from jax.sharding import Mesh
+
+    from blaze_tpu.dist import DistributedMSM
+    from blaze_tpu.msm import MSMConfig
+    from blaze_tpu.oracle import tiled_msm_instance
+
+    curve = _curve("bls12_381")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    dmsm = DistributedMSM(curve, mesh, axis="dp",
+                          config=MSMConfig(fused="on"))
+    n = 256
+    points, scalars, exp_aff, _ = tiled_msm_instance(curve.spec, n, seed=47)
+    pts = curve.fq.to_mont(jnp.asarray(points))
+    out = dmsm(pts, jnp.asarray(scalars), window_bits=8)
+    assert _affine_of(curve, out) == exp_aff
