@@ -1,16 +1,20 @@
-"""In-kernel Montgomery-mul cost breakdown + conv variants, on TPU.
+"""In-kernel field-op THROUGHPUT costs on TPU, by marginal slope.
 
-Times chained in-kernel ops (R dependent iterations inside one
-pallas_call) so dispatch overhead amortizes out:
+The first version chained R dependent ops over 8K lanes — latency-bound:
+every variant (full mul, conv alone, REDC alone, add alone) measured the
+same ~0.85 ms/op because serial dependency + dispatch dominated.  Here:
 
-  full    — current _mont_mul (pad/add conv + MXU REDC)
-  conv0   — conv loop only (current)
-  conv1   — shear-reshape conv (outer product + sublane shear)
-  redc    — _redc only
-  addf    — field add (KS carry) only
+  * S independent streams (ILP for the VLIW scheduler),
+  * wide lanes (throughput regime),
+  * cost = slope between R and R/2 repetitions (subtracts fixed overhead).
 
-Prints ns/op per variant at wave = LANES lanes.
+Variants: full (_mont_mul), conv (VPU limb conv only), redc (MXU REDC
+only), addf (KS-carry field add), mulraw (conv+fold, no REDC).
+Prints ns/element marginal cost per variant.
+
+Env: BLZ_MB_LANES (default 32768), BLZ_MB_STREAMS (4), BLZ_MB_R (8).
 """
+import os
 import sys
 import time
 
@@ -29,42 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blaze_tpu.fields import FIELDS
 from blaze_tpu.fields.kernel_ops import PallasFieldOps
-from blaze_tpu.fields.spec import LIMB_BITS, LIMB_MASK, int_to_limbs
+from blaze_tpu.fields.spec import LIMB_BITS, LIMB_MASK
 
 assert jax.default_backend() == "tpu"
 
-SPEC = FIELDS["bls12_381_fr"]
-L = SPEC.nlimbs
-W = 2 * L + 1
-LANES = 8192
-R = 32
+SPEC = FIELDS[os.environ.get("BLZ_MB_FIELD", "bls12_381_fr")]
+LANES = int(os.environ.get("BLZ_MB_LANES", "32768"))
+S = int(os.environ.get("BLZ_MB_STREAMS", "4"))
+RMAX = int(os.environ.get("BLZ_MB_R", "8"))
 ops = PallasFieldOps(SPEC, lazy=False)
-
-
-def conv_shear(a, b):
-    """Outer product + sublane shear-reshape. a, b: (L, T) u32."""
-    T = a.shape[-1]
-    prod = a[:, None, :] * b[None, :, :]          # (La=i, Lb=j, T)
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    # row j gets lo at offset 0, hi at offset 1 along the i axis? shear
-    # over j: column k = i + j. rows indexed by j, width along i.
-    rows = jnp.pad(lo, ((0, 1), (0, 0), (0, 0))) + jnp.pad(
-        hi, ((1, 0), (0, 0), (0, 0))
-    )                                             # (L+1, L, T) over i'
-    # shear along j: out[k] = sum_j rows[k - j, j]
-    Wp = W + 1
-    rows = jnp.pad(rows, ((0, Wp - (L + 1)), (0, 0), (0, 0)))  # (Wp, L, T)
-    # transpose j to front: (L, Wp, T), flatten, truncate, reshape (L, W, T)
-    rj = jnp.swapaxes(rows, 0, 1)                 # (L, Wp, T)
-    flat = rj.reshape(L * Wp, T)[: L * W]
-    sheared = flat.reshape(L, W, T)               # row j shifted by j
-    return jnp.sum(sheared.astype(jnp.int32), axis=0).astype(jnp.uint32)
+L, W = ops.L, ops.W
 
 
 def conv_loop(a, b):
-    T = a.shape[-1]
-    acc = jnp.zeros((W, T), jnp.uint32)
+    acc = jnp.zeros((W, a.shape[-1]), jnp.uint32)
     for i in range(L):
         prod = a[i : i + 1, :] * b
         acc = acc + jnp.pad(prod & LIMB_MASK, ((i, W - i - L), (0, 0)))
@@ -72,60 +54,65 @@ def conv_loop(a, b):
     return acc
 
 
-def make_kernel(kind):
+def body(kind, x, y, mnp, mp):
+    if kind == "full":
+        return ops._mont_mul(x, y, mnp, mp)
+    if kind == "conv":
+        acc = conv_loop(x, y)
+        return (acc[:L] + acc[L : 2 * L]) & LIMB_MASK
+    if kind == "redc":
+        acc = jnp.pad(x + y, ((0, W - L), (0, 0)))
+        return ops._redc(acc, mnp, mp)
+    if kind == "addf":
+        return ops._add_f(x, y)
+    raise ValueError(kind)
+
+
+def make_fn(kind, R):
     def kernel(mnp_ref, mp_ref, x_ref, y_ref, o_ref):
         mnp, mp = mnp_ref[:], mp_ref[:]
-        x = x_ref[:]
         y = y_ref[:]
+        xs = [x_ref[:, s * LANES : (s + 1) * LANES] for s in range(S)]
         for _ in range(R):
-            if kind == "full":
-                x = ops._mont_mul(x, y, mnp, mp)
-            elif kind == "conv0":
-                acc = conv_loop(x, y)
-                x = (acc[:L] + acc[L : 2 * L]) & LIMB_MASK
-            elif kind == "conv1":
-                acc = conv_shear(x, y)
-                x = (acc[:L] + acc[L : 2 * L]) & LIMB_MASK
-            elif kind == "redc":
-                acc = jnp.pad(x + y, ((0, W - L), (0, 0)))
-                x = ops._redc(acc, mnp, mp)
-            elif kind == "addf":
-                x = ops._add_f(x, y)
-        o_ref[:] = x
+            xs = [body(kind, x, y[:, : x.shape[-1]], mnp, mp) for x in xs]
+        o_ref[:] = jnp.concatenate(xs, axis=1)
 
-    return kernel
-
-
-def bench(kind):
-    mnp = jnp.asarray(ops._mnp_host, dtype=jnp.bfloat16)
-    mp = jnp.asarray(ops._mp_host, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.integers(0, 1 << 15, size=(L, LANES), dtype=np.uint32))
-    y = jnp.asarray(rng.integers(0, 1 << 15, size=(L, LANES), dtype=np.uint32))
-    fn = jax.jit(pl.pallas_call(
-        make_kernel(kind),
+    return jax.jit(pl.pallas_call(
+        kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, LANES), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, S * LANES), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
     ))
-    out = fn(mnp, mp, x, y)
-    np.asarray(out[0, 0:1])  # sync
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    np.asarray(out[0, 0:1])
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        out = fn(mnp, mp, x, y)
+        out = fn(*args)
         np.asarray(out[0, 0:1])
         best = min(best, time.perf_counter() - t0)
-    per_op = best / (R * LANES)
-    print(f"{kind:6s}: {best*1e3:7.3f} ms total, {per_op*1e9:7.2f} ns/op-lane "
-          f"-> {1/per_op/1e6:7.1f} M ops/s", flush=True)
+    return best
 
 
-for kind in ("full", "conv0", "conv1", "redc", "addf"):
+mnp = jnp.asarray(ops._mnp_host, dtype=jnp.bfloat16)
+mp = jnp.asarray(ops._mp_host, dtype=jnp.bfloat16)
+rng = np.random.default_rng(3)
+x = jnp.asarray(rng.integers(0, 1 << 15, size=(L, S * LANES), dtype=np.uint32))
+y = jnp.asarray(rng.integers(0, 1 << 15, size=(L, LANES), dtype=np.uint32))
+
+for kind in ("full", "conv", "redc", "addf"):
     try:
-        bench(kind)
+        t_hi = timed(make_fn(kind, RMAX), mnp, mp, x, y)
+        t_lo = timed(make_fn(kind, RMAX // 2), mnp, mp, x, y)
+        slope = (t_hi - t_lo) / ((RMAX - RMAX // 2) * S * LANES)
+        print(f"{kind:5s}: R={RMAX} {t_hi*1e3:7.2f} ms, R={RMAX//2} "
+              f"{t_lo*1e3:7.2f} ms -> {slope*1e9:6.2f} ns/elem marginal "
+              f"({1/slope/1e6:6.1f} M elem-ops/s)", flush=True)
     except Exception as e:
-        print(f"{kind}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        print(f"{kind}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
