@@ -28,7 +28,12 @@ def bytes_to_limbs(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
         data, (bytes, bytearray, memoryview)
     ) else np.asarray(data, dtype=np.uint8)
     if buf.size % spec.nbytes:
-        raise ValueError(f"buffer size {buf.size} not multiple of {spec.nbytes}")
+        from ..utils.errors import DataError
+
+        raise DataError(
+            f"buffer size {buf.size} not a multiple of element size "
+            f"{spec.nbytes} ({spec.name})"
+        )
     if buf.size >= _NATIVE_MIN_BYTES and _native.have_native():
         return _native.bytes_to_limbs(np.ascontiguousarray(buf), spec.nbytes)
     u16 = buf.view("<u2").reshape(-1, spec.nlimbs)

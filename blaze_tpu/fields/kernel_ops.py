@@ -222,13 +222,17 @@ class PallasFieldOps:
             # slab over the first leading dim
             n0 = shape[0]
             step = max(1, n0 * MAX_WAVE_LANES // total_lanes)
-            ab = jnp.broadcast_to(a, shape)
-            bb = jnp.broadcast_to(b, shape)
-            outs = [
-                self._mont_mul(ab[i : i + step], bb[i : i + step], mnp, mp)
-                for i in range(0, n0, step)
-            ]
-            return jnp.concatenate(outs, axis=0)
+            if step < n0:  # guard: a no-op slab (n0 == 1 with further
+                # leading dims still over budget) must fall through to the
+                # base path rather than recurse on an identical shape
+                ab = jnp.broadcast_to(a, shape)
+                bb = jnp.broadcast_to(b, shape)
+                outs = [
+                    self._mont_mul(ab[i : i + step], bb[i : i + step],
+                                   mnp, mp)
+                    for i in range(0, n0, step)
+                ]
+                return jnp.concatenate(outs, axis=0)
         # materialize broadcasts up-front: Mosaic can't lower a single op
         # that extends both sublanes and lanes (e.g. (N, 1, 1) -> (N, L, T)
         # from a per-limb slice of a lane-constant operand)

@@ -46,8 +46,15 @@ class PoseidonKernels(PallasFieldOps):
     @classmethod
     def for_params(cls, params: PoseidonParams,
                    interpret: bool = False) -> "PoseidonKernels":
+        # The key must pin the FULL constant set: two CSV-loaded parameter
+        # sets with identical (field, t, rounds) but different constants
+        # must not share a kernel (its MDS/RC matrices are baked in).
+        const_digest = hash(
+            (tuple(params.round_constants),
+             tuple(tuple(row) for row in params.mds))
+        )
         key = (params.spec.name, params.t, params.r_f, params.r_p,
-               params.round_constants[:2], interpret)
+               const_digest, interpret)
         inst = cls._CACHE.get(key)
         if inst is None:
             inst = cls(params, interpret)

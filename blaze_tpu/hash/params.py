@@ -146,16 +146,27 @@ def params_from_csv(spec: FieldSpec, path: str, t: int, **kw) -> PoseidonParams:
     """
     import csv
 
+    from ..utils.errors import DataError
+
     vals = []
-    with open(path) as fh:
-        for row in csv.reader(fh):
-            vals.extend(int(v) for v in row if v.strip())
+    try:
+        with open(path) as fh:
+            for row in csv.reader(fh):
+                try:
+                    vals.extend(int(v) for v in row if v.strip())
+                except ValueError as e:
+                    raise DataError(
+                        f"non-integer value in {path!r}: {e}"
+                    ) from e
+    except OSError as e:
+        raise DataError(f"cannot read constants CSV {path!r}: {e}") from e
     r_f = kw.get("r_f", 8)
     r_p = kw.get("r_p", _RP_TABLE.get(t, 68))
     nrc = (r_f + r_p) * t
     if len(vals) < nrc + t * t:
-        raise ValueError(
-            f"CSV has {len(vals)} values, need {nrc + t * t} for t={t}"
+        raise DataError(
+            f"CSV {path!r} has {len(vals)} values, need {nrc + t * t} "
+            f"for t={t}"
         )
     rc = tuple(v % spec.p for v in vals[:nrc])
     mds_flat = [v % spec.p for v in vals[nrc : nrc + t * t]]

@@ -49,7 +49,13 @@ from ..msm import (
 from ..ntt import make_ntt
 from .device import DeviceContext
 from .primitive import DriverPrimitive, ImageParams, timed
-from ..utils.errors import DataError, InvalidPrimitiveParam, NotReady
+from ..utils.errors import (
+    BlazeError,
+    DataError,
+    DeviceError,
+    InvalidPrimitiveParam,
+    NotReady,
+)
 from ..utils.misc import elide_payload, hard_sync, retry
 
 log = logging.getLogger("blaze_tpu.clients")
@@ -57,8 +63,17 @@ log = logging.getLogger("blaze_tpu.clients")
 
 def _device_put(x, device):
     """Transfer with the reference's retry semantics (utils.rs:133-147):
-    transient PJRT/tunnel failures get N attempts with a short backoff."""
-    return retry(lambda: jax.device_put(x, device), times=3, sleep_s=0.5)
+    transient PJRT/tunnel failures get N attempts with a short backoff.
+    A transfer that still fails after all attempts surfaces as the typed
+    DeviceError (the WriteError analog, error.rs:7-10)."""
+    try:
+        return retry(lambda: jax.device_put(x, device), times=3, sleep_s=0.5)
+    except BlazeError:
+        raise
+    except Exception as e:
+        raise DeviceError(
+            f"device_put failed after retries: {e}", buffer=str(device)
+        ) from e
 
 
 def _resolve_curve(curve) -> Curve:
@@ -262,7 +277,15 @@ class MSMClient(DriverPrimitive):
         proj = self.curve.fq.from_mont(out)            # (3, L) canonical
         raw = encode_projective_result(np.asarray(proj), self.curve.spec)
         popped = self._pop_task()
-        assert popped is None or popped == label
+        if popped is not None and popped != label:
+            # FIFO divergence between the task-label queue and the
+            # in-flight result queue is a framework bug, not a user error —
+            # but it must not pass silently under `python -O` (a bare
+            # assert would), or results get mislabeled.
+            raise DeviceError(
+                f"task-label FIFO out of sync: popped {popped}, "
+                f"result label {label}"
+            )
         return MSMResult(result=raw, label=label)
 
     # -------------------------------------------------------- HBM helpers

@@ -114,8 +114,15 @@ class DeviceContext:
         wall seconds spent — the load_binary timing surface
         (dclient.rs:213-236).
         """
+        from ..utils.errors import LoadFailed
+
         t0 = time.perf_counter()
         for fn in warmup_fns:
-            out = fn()
-            jax.block_until_ready(out)
+            try:
+                out = fn()
+                jax.block_until_ready(out)
+            except Exception as e:
+                raise LoadFailed(
+                    f"kernel warm-up failed for {getattr(fn, '__name__', fn)}: {e}"
+                ) from e
         return time.perf_counter() - t0
