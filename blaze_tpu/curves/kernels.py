@@ -80,28 +80,48 @@ class ECKernels(PallasFieldOps):
                 mb[j, i] = kb[j - i]
         # rows deinterleaved (even byte cols block, odd block) for the
         # contiguous 16-bit reconstruction; columns permuted to the
-        # kernel's [limb lo bytes; limb hi bytes] input layout.
+        # kernel's [limb lo bytes; limb hi bytes] input layout; packed to
+        # the centered-int8 + correction form (the exact i32 MXU path,
+        # fields/mxu.py:_i8_pack).
         mb = np.concatenate([mb[0::2], mb[1::2]], axis=0)
         col_perm = list(range(0, nb, 2)) + list(range(1, nb, 2))
-        self._b3m_host = mb[:, col_perm]
+        from ..fields.mxu import _i8_pack
+
+        self._b3m_i8, self._b3_corr = _i8_pack(mb[:, col_perm])
+
+    # --------------------------------------------------- constant plumbing
+    def _ec_const_arrays(self):
+        return self.field_const_arrays() + [self._b3m_i8, self._b3_corr]
+
+    def _ec_const_inputs(self):
+        return [jnp.asarray(a) for a in self._ec_const_arrays()]
+
+    def _ec_const_specs(self):
+        return self.const_specs(self._ec_const_arrays())
+
+    @staticmethod
+    def _read_ec_consts(refs):
+        """(fc, b3c) from the first 6 kernel refs."""
+        fc = PallasFieldOps.read_consts(refs)
+        n = PallasFieldOps.N_FIELD_CONSTS
+        return fc, (refs[n][:], refs[n + 1][:])
 
     # ------------------------------------------------- in-kernel field ops
     # (generic limb/REDC/add/sub primitives inherited from PallasFieldOps)
 
-    def _b3_mul(self, x, b3m, mnp, mp):
+    def _b3_mul(self, x, b3c, fc):
         """b3 * x (Montgomery) for (L, T) batches: the constant-side limb
-        convolution runs as ONE bf16 matmul against the precomputed byte
+        convolution runs as ONE int8 matmul against the precomputed byte
         matrix instead of L VPU rounds, then the standard REDC."""
-        L, W = self.L, self.W
-        x8 = jnp.concatenate([x & 0xFF, x >> 8], axis=0).astype(
-            jnp.int32).astype(jnp.bfloat16)                  # (2L bytes, T)
-        v = jnp.dot(b3m, x8, preferred_element_type=jnp.float32)
-        vc = v.astype(jnp.int32).astype(jnp.uint32)          # (4L, T)
+        L = self.L
+        b3m, b3corr = b3c
+        x8 = jnp.concatenate([x & 0xFF, x >> 8], axis=0)     # (2L bytes, T)
+        vc = self._dot_exact(b3m, b3corr, x8)                # (4L, T)
         nb = 2 * L
         w16 = vc[:nb] + (vc[nb:] << 8)                       # (2L, T) <2^31
         carried, over = self._ks_carry(w16)
         acc = jnp.concatenate([carried, over], axis=0)       # (W, T)
-        return self._redc(acc, mnp, mp)
+        return self._redc(acc, fc)
 
     def _b3_col(self, T):
         return self._const_col(self._b3_ints, T)
@@ -112,48 +132,48 @@ class ECKernels(PallasFieldOps):
     # wave's independent Montgomery products run as ONE wide _mont_mul on
     # lane-concatenated operands (measured: each MXU<->VPU transition
     # stalls ~0.5 us/tile — the dominant cost of the unbatched body).
-    def _b3_wave(self, xs, b3m, mnp, mp):
+    def _b3_wave(self, xs, b3c, fc):
         T = xs[0].shape[1]
-        r = self._b3_mul(jnp.concatenate(xs, axis=1), b3m, mnp, mp)
+        r = self._b3_mul(jnp.concatenate(xs, axis=1), b3c, fc)
         return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
 
-    def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, mnp, mp, b3m):
+    def _add_mixed_body(self, X1, Y1, Z1, X2, Y2, fc, b3c):
         """RCB 2016 alg 8 (a=0), all in VMEM. 11 muls in 3 waves (the two
         b3 muls ride the constant-matrix matmul path)."""
         s0, s1 = self._add_wave([X1, X2], [Y1, Y2])
         m0, m1, m2, m3, m4 = self._mm_wave(
-            [X1, Y1, s0, Y2, X2], [X2, Y2, s1, Z1, Z1], mnp, mp
+            [X1, Y1, s0, Y2, X2], [X2, Y2, s1, Z1, Z1], fc
         )
         d0, t4, u2, d3 = self._add_wave(
             [m0, m3, m4, m0], [m1, Y1, X1, m0]
         )                                    # m0+m1, Y1+Y2Z1, X1+X2Z1, 2m0
         t3 = self._sub_f(m2, d0)             # X1Y2 + X2Y1
         t0 = self._add_f(d3, m0)             # 3 X1X2
-        w0, w1 = self._b3_wave([Z1, u2], b3m, mnp, mp)
+        w0, w1 = self._b3_wave([Z1, u2], b3c, fc)
         z3 = self._add_f(m1, w0)
         t1 = self._sub_f(m1, w0)
         r0, r1, r2, r3, r4, r5 = self._mm_wave(
-            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], mnp, mp
+            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], fc
         )
         X3 = self._sub_f(r0, r1)
         Y3, Z3 = self._add_wave([r2, r4], [r3, r5])
         return X3, Y3, Z3
 
-    def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, mnp, mp, b3m):
+    def _add_full_body(self, X1, Y1, Z1, X2, Y2, Z2, fc, b3c):
         """RCB 2016 alg 7 (a=0). 12 muls in 3 waves; complete."""
         sa = self._add_wave([X1, X2, Y1, Y2, X1, X2], [Y1, Y2, Z1, Z2, Z1, Z2])
         m0, m1, m2, m3, m4, m5 = self._mm_wave(
             [X1, Y1, Z1, sa[0], sa[2], sa[4]],
-            [X2, Y2, Z2, sa[1], sa[3], sa[5]], mnp, mp,
+            [X2, Y2, Z2, sa[1], sa[3], sa[5]], fc,
         )
         u = self._add_wave([m0, m1, m0, m0], [m1, m2, m2, m0])
         t3, t4, t5 = self._sub_wave([m3, m4, m5], [u[0], u[1], u[2]])
         t0 = self._add_f(u[3], m0)           # 3 X1X2
-        w0, w1 = self._b3_wave([m2, t5], b3m, mnp, mp)
+        w0, w1 = self._b3_wave([m2, t5], b3c, fc)
         z3 = self._add_f(m1, w0)
         t1 = self._sub_f(m1, w0)
         r0, r1, r2, r3, r4, r5 = self._mm_wave(
-            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], mnp, mp
+            [t3, t4, t1, t0, z3, t0], [t1, w1, z3, w1, t4, t3], fc
         )
         X3 = self._sub_f(r0, r1)
         Y3, Z3 = self._add_wave([r2, r4], [r3, r5])
@@ -178,8 +198,9 @@ class ECKernels(PallasFieldOps):
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, b3m_ref, row_ref, emit_ref, tot_ref,
-                   carry_scr):
+        def kernel(*args):
+            (row_ref, emit_ref, tot_ref, carry_scr) = args[6:]
+            fc, b3c = self._read_ec_consts(args)
             c = pl.program_id(1)
 
             @pl.when(c == 0)
@@ -201,7 +222,7 @@ class ECKernels(PallasFieldOps):
                 Y2 = row[L:]
             X3, Y3, Z3 = self._add_mixed_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
-                X2, Y2, mnp_ref[:], mp_ref[:], b3m_ref[:],
+                X2, Y2, fc, b3c,
             )
             nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
             carry_scr[:] = nxt
@@ -216,13 +237,7 @@ class ECKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T, C),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self._ec_const_specs() + [
                 pl.BlockSpec((1, in_rows, T), lambda i, c: (c, 0, i),
                              memory_space=pltpu.VMEM),
             ],
@@ -263,10 +278,8 @@ class ECKernels(PallasFieldOps):
         Bp = B + npad
         rows = rows.astype(jnp.uint32 if packed else jnp.uint16)
 
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        emitted, tot = self._scan_fn(C, Bp, packed)(mnp, mp, b3m, rows)
+        consts = self._ec_const_inputs()
+        emitted, tot = self._scan_fn(C, Bp, packed)(*consts, rows)
         if npad:
             emitted = emitted[..., :B]
             tot = tot[..., :B]
@@ -283,7 +296,9 @@ class ECKernels(PallasFieldOps):
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, b3m_ref, row_ref, tot_ref, carry_scr):
+        def kernel(*args):
+            (row_ref, tot_ref, carry_scr) = args[6:]
+            fc, b3c = self._read_ec_consts(args)
             c = pl.program_id(1)
 
             @pl.when(c == 0)
@@ -297,7 +312,7 @@ class ECKernels(PallasFieldOps):
             X3, Y3, Z3 = self._add_full_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
                 row[:L], row[L : 2 * L], row[2 * L :],
-                mnp_ref[:], mp_ref[:], b3m_ref[:],
+                fc, b3c,
             )
             nxt = jnp.concatenate([X3, Y3, Z3], axis=0)
             carry_scr[:] = nxt
@@ -309,13 +324,7 @@ class ECKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T, C),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * W), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self._ec_const_specs() + [
                 pl.BlockSpec((1, 3 * L, T), lambda i, c: (c, 0, i),
                              memory_space=pltpu.VMEM),
             ],
@@ -350,10 +359,8 @@ class ECKernels(PallasFieldOps):
             )
         Bp = B + npad
         rows = rows.astype(jnp.uint16)
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        tot = self._reduce_fn(C, Bp)(mnp, mp, b3m, rows)
+        consts = self._ec_const_inputs()
+        tot = self._reduce_fn(C, Bp)(*consts, rows)
         return tot[..., :B] if npad else tot
 
     # ------------------------------------------------- sequential chains
@@ -385,7 +392,9 @@ class ECKernels(PallasFieldOps):
             ).astype(jnp.uint32)
             return jnp.broadcast_to(col, ws.shape)
 
-        def kernel(mnp_ref, mp_ref, b3m_ref, ws_ref, o_ref, acc_scr):
+        def kernel(*args):
+            (ws_ref, o_ref, acc_scr) = args[6:]
+            fc, b3c = self._read_ec_consts(args)
             s = pl.program_id(0)
             ws = ws_ref[:]
 
@@ -401,8 +410,7 @@ class ECKernels(PallasFieldOps):
 
             q = jnp.where(add_w, lane_pick(ws, Wn - 2 - r), acc)
             X3, Y3, Z3 = self._add_full_body(
-                X, Y, Z, q[:L], q[L : 2 * L], q[2 * L :],
-                mnp_ref[:], mp_ref[:], b3m_ref[:],
+                X, Y, Z, q[:L], q[L : 2 * L], q[2 * L :], fc, b3c,
             )
             acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
@@ -413,13 +421,7 @@ class ECKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(steps,),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * self.W), lambda s: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda s: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda s: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self._ec_const_specs() + [
                 pl.BlockSpec((3 * L, TL), lambda s: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -442,10 +444,8 @@ class ECKernels(PallasFieldOps):
         threeL, Wn = wsums_lm.shape
         assert threeL == 3 * L
         ws = jnp.pad(wsums_lm, ((0, 0), (0, 128 - Wn)))
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        out = self._fold_fn(c, Wn)(mnp, mp, b3m, ws)
+        consts = self._ec_const_inputs()
+        out = self._fold_fn(c, Wn)(*consts, ws)
         return out[:, 0]
 
     def _dbl_fn(self, k: int, Bp: int):
@@ -458,7 +458,9 @@ class ECKernels(PallasFieldOps):
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, b3m_ref, p_ref, o_ref, acc_scr):
+        def kernel(*args):
+            (p_ref, o_ref, acc_scr) = args[6:]
+            fc, b3c = self._read_ec_consts(args)
             s = pl.program_id(1)
 
             @pl.when(s == 0)
@@ -468,8 +470,7 @@ class ECKernels(PallasFieldOps):
             a = acc_scr[:]
             X3, Y3, Z3 = self._add_full_body(
                 a[:L], a[L : 2 * L], a[2 * L :],
-                a[:L], a[L : 2 * L], a[2 * L :],
-                mnp_ref[:], mp_ref[:], b3m_ref[:],
+                a[:L], a[L : 2 * L], a[2 * L :], fc, b3c,
             )
             acc_scr[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
@@ -480,13 +481,7 @@ class ECKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T, k),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * W), lambda i, s: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, s: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, s: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self._ec_const_specs() + [
                 pl.BlockSpec((3 * L, T), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
             ],
@@ -508,10 +503,8 @@ class ECKernels(PallasFieldOps):
         npad = -B % T
         if npad:
             pts_lm = jnp.pad(pts_lm, ((0, 0), (0, npad)))
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        out = self._dbl_fn(k, B + npad)(mnp, mp, b3m, pts_lm)
+        consts = self._ec_const_inputs()
+        out = self._dbl_fn(k, B + npad)(*consts, pts_lm)
         return out[:, :B] if npad else out
 
     # --------------------------------------------------- batched full add
@@ -525,26 +518,21 @@ class ECKernels(PallasFieldOps):
 
         L, W, T = self.L, self.W, self.tile
 
-        def kernel(mnp_ref, mp_ref, b3m_ref, p_ref, q_ref, o_ref):
+        def kernel(*args):
+            (p_ref, q_ref, o_ref) = args[6:]
+            fc, b3c = self._read_ec_consts(args)
             a = p_ref[:]
             b = q_ref[:]
             X3, Y3, Z3 = self._add_full_body(
                 a[:L], a[L : 2 * L], a[2 * L :],
-                b[:L], b[L : 2 * L], b[2 * L :],
-                mnp_ref[:], mp_ref[:], b3m_ref[:],
+                b[:L], b[L : 2 * L], b[2 * L :], fc, b3c,
             )
             o_ref[:] = jnp.concatenate([X3, Y3, Z3], axis=0)
 
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * W), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self._ec_const_specs() + [
                 pl.BlockSpec((3 * L, T), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * L, T), lambda i: (0, i),
@@ -569,8 +557,6 @@ class ECKernels(PallasFieldOps):
             p = jnp.pad(p, ((0, 0), (0, npad)))
             q = jnp.pad(q, ((0, 0), (0, npad)))
         Bp = B + npad
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        b3m = jnp.asarray(self._b3m_host, dtype=jnp.bfloat16)
-        out = self._add_fn(Bp)(mnp, mp, b3m, p, q)
+        consts = self._ec_const_inputs()
+        out = self._add_fn(Bp)(*consts, p, q)
         return out[..., :B] if npad else out

@@ -44,16 +44,27 @@ MAX_WAVE_LANES = 1 << 13
 class PallasFieldOps:
     """Per-FieldSpec in-kernel primitives. Subclass or embed in kernels."""
 
+    # Number of constant operands every kernel built on this class passes
+    # through to the field layer (see field_const_arrays).
+    N_FIELD_CONSTS = 4
+
     def __init__(self, spec: FieldSpec, lazy: bool):
         self.fspec = spec
         self.lazy = lazy
         eng = MXUMont.for_spec(spec)
         self.L = eng.L
         self.W = eng.W
-        # REDC byte matrices (output rows deinterleaved lo-block/hi-block
-        # by MXUMont, so 16-bit reconstruction is contiguous slices)
-        self._mnp_host = eng._m_np_host        # (2L, 3W)
-        self._mp_host = eng._m_p_host          # (4L, 2L)
+        # REDC int8 packs (centered byte matrices + ones-row colsum and
+        # int32 correction columns, fields/mxu.py:_i8_pack): the two REDC
+        # matmuls are ~2/3 of the fused Montgomery mul on v5e and the
+        # int8 MXU path runs them at 2x the bf16 rate with EXACT int32
+        # accumulation (no f32 exactness budget, no f32->i32 casts).
+        # Output rows stay deinterleaved lo-block/hi-block so 16-bit
+        # reconstruction is contiguous slices.
+        self._mnp_i8 = eng._mnp_i8_host        # (2L+1, 3L-1) int8
+        self._mnp_corr = eng._mnp_corr_host    # (2L, 1) int32
+        self._mp_i8 = eng._mp_i8_host          # (4L+1, 2L) int8
+        self._mp_corr = eng._mp_corr_host      # (4L, 1) int32
         self._p_ints = eng._p_ints
         self._one_ints = [int(v) for v in np.asarray(spec.one_mont_limbs)]
         if lazy:
@@ -62,6 +73,45 @@ class PallasFieldOps:
         else:
             assert spec.r > spec.p
             self._p2_ints = None
+
+    # ------------------------------------------------- constant plumbing
+    #
+    # Pallas kernels receive the REDC constants as operands (constants
+    # materialized inside a traced body would leak tracers / re-lower per
+    # call).  Kernels built on this class splice `field_const_specs()`
+    # into their in_specs, pass `field_const_inputs()` first, and hand the
+    # first N_FIELD_CONSTS refs back via `read_consts` as the `fc` tuple
+    # every field op takes.
+    def field_const_arrays(self):
+        """Host numpy constants, fixed order (int8 packs + corrections)."""
+        return [self._mnp_i8, self._mnp_corr, self._mp_i8, self._mp_corr]
+
+    def field_const_inputs(self):
+        """Per-trace device constants matching field_const_arrays."""
+        return [jnp.asarray(a) for a in self.field_const_arrays()]
+
+    @staticmethod
+    def const_specs(arrays):
+        """Full-array VMEM BlockSpecs for constant operands."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        return [
+            pl.BlockSpec(
+                a.shape,
+                (lambda nd: (lambda *ix: (0,) * nd))(a.ndim),
+                memory_space=pltpu.VMEM,
+            )
+            for a in arrays
+        ]
+
+    def field_const_specs(self):
+        return self.const_specs(self.field_const_arrays())
+
+    @staticmethod
+    def read_consts(refs):
+        """Kernel-side: first N_FIELD_CONSTS refs -> the fc tuple."""
+        return tuple(r[:] for r in refs[: PallasFieldOps.N_FIELD_CONSTS])
 
     # ------------------------------------------------------------ helpers
     @staticmethod
@@ -141,9 +191,24 @@ class PallasFieldOps:
         return jnp.where(borrow == 0, sub, limbs)
 
     # -------------------------------------------------------------- REDC
-    def _redc(self, acc, mnp, mp, subs: int = 1):
+    def _dot_exact(self, mat, corr, planes):
+        """Exact M @ planes for byte-valued planes via the int8 MXU.
+
+        mat: (M+1, K) int8 — centered entries with the ones colsum-row
+        last (fields/mxu.py:_i8_pack); corr: (M, 1) int32 per-row
+        constant; planes: (..., K, T) uint32 byte values (< 256).
+        Returns (..., M, T) uint32, exact (i32 accumulation)."""
+        xi = (planes.astype(jnp.int32) - 128).astype(jnp.int8)
+        out = self._const_dot(mat, xi, jnp.int32)
+        M = corr.shape[-2]
+        full = out[..., :M, :] + out[..., M : M + 1, :] * 128 + corr
+        return full.astype(jnp.uint32)
+
+    def _redc(self, acc, fc, subs: int = 1):
         """Montgomery reduction of lazy product columns acc (..., W, T)
-        u32 (16-bit stride, any values) -> limbs (..., L, T).
+        u32 (16-bit stride, values < 2^24) -> limbs (..., L, T).
+
+        fc: the field-const tuple from read_consts.
 
         lazy=True: result < 2p (no subtraction).  lazy=False: result < p,
         via `subs` chained conditional subtractions with a tracked top
@@ -151,17 +216,23 @@ class PallasFieldOps:
         summed-product inputs (e.g. a fused MDS row, T < t*p^2) need
         subs = floor(t*p/R) + 1."""
         L = self.L
+        mnp, mnp_corr, mp, mp_corr = fc[:4]
+        # K-trimmed byte planes: only byte positions < 2L matter mod R,
+        # so columns >= L (and column L-1's third byte) are dropped —
+        # 3L-1 input rows = one 128-deep MXU K-block (vs 3W = 147).
         t8 = jnp.concatenate(
-            [acc & 0xFF, (acc >> 8) & 0xFF, acc >> 16], axis=-2
-        ).astype(jnp.int32).astype(jnp.bfloat16)
-        m_cols = self._const_dot(mnp, t8)
-        mc = m_cols.astype(jnp.int32).astype(jnp.uint32)
+            [
+                acc[..., :L, :] & 0xFF,
+                (acc[..., :L, :] >> 8) & 0xFF,
+                acc[..., : L - 1, :] >> 16,
+            ],
+            axis=-2,
+        )
+        mc = self._dot_exact(mnp, mnp_corr, t8)       # (..., 2L, T)
         m16 = mc[..., :L, :] + (mc[..., L:, :] << 8)  # deinterleaved blocks
         m, _ = self._ks_carry(m16)
-        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=-2).astype(
-            jnp.int32).astype(jnp.bfloat16)
-        q_cols = self._const_dot(mp, m8)
-        qc = q_cols.astype(jnp.int32).astype(jnp.uint32)
+        m8 = jnp.concatenate([m & 0xFF, m >> 8], axis=-2)
+        qc = self._dot_exact(mp, mp_corr, m8)         # (..., 4L, T)
         q16 = qc[..., : 2 * L, :] + (qc[..., 2 * L :, :] << 8)
         pad = [(0, 0)] * (q16.ndim - 2) + [(0, 1), (0, 0)]
         u = acc + jnp.pad(q16, pad)
@@ -188,7 +259,7 @@ class PallasFieldOps:
         return limbs
 
     @staticmethod
-    def _const_dot(mat, x):
+    def _const_dot(mat, x, prefer=jnp.float32):
         """mat (M, K) constant  @  x (..., K, T) -> (..., M, T) on the MXU.
 
         Leading dims of x batch the matmul; the constant is broadcast.
@@ -196,7 +267,7 @@ class PallasFieldOps:
         measured SLOWER — the moveaxis/reshape relayouts cost more than
         the batched small matmuls they replace.)"""
         if x.ndim == 2:
-            return jnp.dot(mat, x, preferred_element_type=jnp.float32)
+            return jnp.dot(mat, x, preferred_element_type=prefer)
         lead = x.shape[:-2]
         nb = len(lead)
         mb = jnp.broadcast_to(mat, (*lead, *mat.shape))
@@ -204,10 +275,10 @@ class PallasFieldOps:
             mb, x,
             dimension_numbers=(((nb + 1,), (nb,)),
                                (tuple(range(nb)), tuple(range(nb)))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=prefer,
         )
 
-    def _mont_mul(self, a, b, mnp, mp):
+    def _mont_mul(self, a, b, fc):
         """Fused Montgomery product of (..., L, T) batches (VPU conv + MXU
         REDC; same math as fields/mxu.py MXUMont._kernel).  a and b
         broadcast against each other over leading dims; a's limbs drive
@@ -228,8 +299,7 @@ class PallasFieldOps:
                 ab = jnp.broadcast_to(a, shape)
                 bb = jnp.broadcast_to(b, shape)
                 outs = [
-                    self._mont_mul(ab[i : i + step], bb[i : i + step],
-                                   mnp, mp)
+                    self._mont_mul(ab[i : i + step], bb[i : i + step], fc)
                     for i in range(0, n0, step)
                 ]
                 return jnp.concatenate(outs, axis=0)
@@ -248,7 +318,7 @@ class PallasFieldOps:
             acc = acc + jnp.pad(
                 prod >> LIMB_BITS, pad_lead + [(i + 1, W - i - 1 - L), (0, 0)]
             )
-        return self._redc(acc, mnp, mp)
+        return self._redc(acc, fc)
 
     # ------------------------------------------------------------ add/sub
     def _add_f(self, a, b):
@@ -273,10 +343,10 @@ class PallasFieldOps:
     # lane-concatenated operands: the REDC matmuls sit on the MXU while
     # everything else is VPU work, and batching a wave turns 2 MXU<->VPU
     # round-trips per product into 2 per wave.
-    def _mm_wave(self, xs, ys, mnp, mp):
+    def _mm_wave(self, xs, ys, fc):
         T = xs[0].shape[1]
         r = self._mont_mul(
-            jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1), mnp, mp
+            jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1), fc
         )
         return [r[:, i * T : (i + 1) * T] for i in range(len(xs))]
 

@@ -71,6 +71,28 @@ def _bytes_of_int(x: int, n: int) -> np.ndarray:
     return np.array([(x >> (8 * i)) & 0xFF for i in range(n)], dtype=np.int64)
 
 
+def _i8_pack(mat: np.ndarray):
+    """Centered-int8 form of a byte-valued (M, K) constant matrix.
+
+    The MXU's int8 path needs operands in [-128, 127]; byte values
+    (0..255) are centered by 128 on both sides:
+        M @ x = (M-128J) @ (x-128) + 128*colsum(x-128) [per lane]
+              + [128*rowsum(M-128J) + 128^2*K] [per row].
+    The data-dependent colsum rides along as ONE extra ones-row in the
+    matrix (output row M); the per-row constant is returned as an int32
+    correction column.  Returns ((M+1, K) int8, (M, 1) int32).
+    """
+    mi = np.asarray(mat, dtype=np.int64)
+    M, K = mi.shape
+    assert mi.min() >= 0 and mi.max() <= 255, "byte-valued matrix expected"
+    cent = mi - 128
+    packed = np.concatenate(
+        [cent.astype(np.int8), np.ones((1, K), np.int8)], axis=0
+    )
+    corr = (128 * cent.sum(axis=1) + 128 * 128 * K).astype(np.int32)
+    return packed, corr[:, None]
+
+
 class MXUMont:
     """Per-FieldSpec constants + the pallas_call wrapper."""
 
@@ -121,6 +143,34 @@ class MXUMont:
         m_p = np.concatenate([m_p[0::2], m_p[1::2]], axis=0)  # deinterleave
         self._m_p_host = m_p
         self._p_ints = [int(v) for v in np.asarray(spec.p_limbs)]
+
+        # ---- int8 REDC packs (the hot-path form: v5e's int8 MXU runs at
+        # 2x the bf16 rate and accumulates EXACTLY in int32, so the f32
+        # exactness budget and the f32->i32 output casts disappear).
+        #
+        # m matmul, K-trimmed: the bf16 matrix's input space is 3 byte
+        # planes of all W = 2L+1 product columns (3W = 147 rows for
+        # L = 24), but every input byte at position >= 2L is a multiple of
+        # R and contributes nothing mod R — 76 of those rows are all-zero.
+        # The trimmed input is [cols[:L] & 0xFF; (cols[:L] >> 8) & 0xFF;
+        # cols[:L-1] >> 16] = 3L-1 rows, which fits ONE 128-deep MXU
+        # K-block instead of two (measured: the two REDC matmuls are 2/3
+        # of the whole Montgomery mul on v5e, experiments/redc_probe.py).
+        K1 = 3 * L - 1
+        mnp_t = np.zeros((B, K1), dtype=np.int64)
+        for c in range(3):
+            kmax = L if c < 2 else L - 1
+            for k in range(kmax):
+                off = 2 * k + c
+                col = c * L + k
+                for i in range(B - off):
+                    mnp_t[off + i, col] = np8[i]
+        mnp_t = np.concatenate([mnp_t[0::2], mnp_t[1::2]], axis=0)
+        self._mnp_i8_host, self._mnp_corr_host = _i8_pack(mnp_t)
+
+        # q matmul: (4L, 2L) banded p-byte matrix, input [m lo; m hi]
+        mp_t = (m_p.astype(np.int64))
+        self._mp_i8_host, self._mp_corr_host = _i8_pack(mp_t)
 
     # ---------------------------------------------------------------- kernel
     def _kernel(self, mnp_ref, mp_ref, a_ref, b_ref, o_ref):

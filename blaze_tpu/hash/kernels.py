@@ -15,9 +15,11 @@ collapses into ONE bf16 byte-plane matmul on the MXU:
 
 assembled as a (t*4L, t*2L) block matrix against the concatenated byte
 planes of all t state elements, followed by one BATCHED Montgomery
-reduction (kernel_ops._redc over the leading t axis).  Input columns are
-split into groups of <= 8 elements so every f32 accumulation stays exact
-(< 2^24); group results are added in uint32.
+reduction (kernel_ops._redc over the leading t axis).  The matmul runs on
+the int8 MXU path (centered operands + ones-row correction,
+fields/mxu.py:_i8_pack) with EXACT int32 accumulation — so the whole
+t-wide input rides ONE matmul (the old bf16 path needed <= 8-element
+groups to keep f32 sums exact).
 
 Layout: states are (t, L, B) — state rows on the leading axis, 16-bit
 limbs on sublanes, independent states on the 128-lane minor axis.
@@ -34,8 +36,10 @@ from .params import PoseidonParams
 
 __all__ = ["PoseidonKernels"]
 
-# max state elements per byte-matmul group: nb * ceil^2(byte) * g < 2^24
-_GROUP = 8
+# max state elements per byte-matmul group; int32 accumulation is exact
+# for any practical t (|sum| <= t*2L*128^2 ~ 2^23 at t=64), so one group
+# covers every Poseidon instance in use (t = 9 / 12)
+_GROUP = 64
 
 
 class PoseidonKernels(PallasFieldOps):
@@ -90,7 +94,9 @@ class PoseidonKernels(PallasFieldOps):
         self._groups = [
             list(range(g, min(g + _GROUP, t))) for g in range(0, t, _GROUP)
         ]
-        self._bm_host = []
+        from ..fields.mxu import _i8_pack
+
+        self._bm_i8 = []
         for cols in self._groups:
             bm = np.zeros((t * 2 * nb, len(cols) * nb), dtype=np.float32)
             for i in range(t):
@@ -98,25 +104,22 @@ class PoseidonKernels(PallasFieldOps):
                     mij = (params.mds[i][j] * r) % p
                     bm[i * 2 * nb : (i + 1) * 2 * nb,
                        cj * nb : (cj + 1) * nb] = conv_block(mij)
-            self._bm_host.append(bm)
+            self._bm_i8.append(_i8_pack(bm))
 
         # round constants: (rounds, t, L, 1) u32 Montgomery
         self._rc_host = params.rc_mont[..., None].astype(np.uint32)
 
     # ------------------------------------------------------------- pieces
-    def _mds_mxu(self, state, bms, mnp, mp):
+    def _mds_mxu(self, state, bms, fc):
         """state (t, L, T) -> MDS @ state, via byte-plane matmuls + one
         batched REDC.  All values canonical (< p)."""
         t, L, T = state.shape
         nb = 2 * L
-        by = jnp.concatenate(
-            [state & 0xFF, state >> 8], axis=1
-        ).astype(jnp.int32).astype(jnp.bfloat16)      # (t, 2L, T)
+        by = jnp.concatenate([state & 0xFF, state >> 8], axis=1)  # (t,2L,T)
         acc = None
-        for cols, bm in zip(self._groups, bms):
+        for cols, (bm, corr) in zip(self._groups, bms):
             xg = by[cols[0] : cols[-1] + 1].reshape(len(cols) * nb, T)
-            v = jnp.dot(bm, xg, preferred_element_type=jnp.float32)
-            vi = v.astype(jnp.int32).astype(jnp.uint32)
+            vi = self._dot_exact(bm, corr, xg)
             acc = vi if acc is None else acc + vi
         vc = acc.reshape(t, 2 * nb, T)                # byte cols, deint.
         lo, hi = vc[:, :nb], vc[:, nb:]
@@ -126,17 +129,17 @@ class PoseidonKernels(PallasFieldOps):
             spill, ((0, 0), (1, 0), (0, 0))
         )                                             # (t, W, T) < 2^25
         # carry-normalize BEFORE the REDC matmuls: _redc byte-splits its
-        # input into bf16 planes, which is only exact for limbs < 2^24
-        # (third plane < 2^8); the summed MDS columns exceed that.
+        # input into 3 byte planes, which needs limbs < 2^24 (third plane
+        # < 2^8); the summed MDS columns exceed that.
         accw, _ = self._ks_carry(accw)                # limbs < 2^16, over=0
         # the summed input is < t*p^2, so the post-REDC value is < ~6p:
         # chained subtractions (computed in __init__) restore < p
-        return self._redc(accw, mnp, mp, subs=self._mds_subs)
+        return self._redc(accw, fc, subs=self._mds_subs)
 
-    def _sbox(self, x, mnp, mp):
-        x2 = self._mont_mul(x, x, mnp, mp)
-        x4 = self._mont_mul(x2, x2, mnp, mp)
-        return self._mont_mul(x4, x, mnp, mp)
+    def _sbox(self, x, fc):
+        x2 = self._mont_mul(x, x, fc)
+        x4 = self._mont_mul(x2, x2, fc)
+        return self._mont_mul(x4, x, fc)
 
     # ------------------------------------------------------------- kernel
     def _perm_fn(self, T: int, Bp: int):
@@ -154,10 +157,14 @@ class PoseidonKernels(PallasFieldOps):
         rounds = r_f + r_p
         ngroups = len(self._groups)
 
-        def kernel(mnp_ref, mp_ref, rc_ref, *refs):
-            bms = [r[:] for r in refs[:ngroups]]
-            x_ref, o_ref = refs[ngroups], refs[ngroups + 1]
-            mnp, mp = mnp_ref[:], mp_ref[:]
+        def kernel(*args):
+            fc = self.read_consts(args)
+            rc_ref = args[4]
+            refs = args[5:]
+            bms = [
+                (refs[2 * g][:], refs[2 * g + 1][:]) for g in range(ngroups)
+            ]
+            x_ref, o_ref = refs[2 * ngroups], refs[2 * ngroups + 1]
             state = x_ref[:].astype(jnp.uint32)       # (t, L, T)
 
             # Round constants are loaded per round FROM THE REF with the
@@ -167,32 +174,27 @@ class PoseidonKernels(PallasFieldOps):
             # dynamic leading-axis read of a VMEM ref lowers fine.
             def full_round(r, s):
                 s = self._add_f(s, rc_ref[r])
-                s = self._sbox(s, mnp, mp)
-                return self._mds_mxu(s, bms, mnp, mp)
+                s = self._sbox(s, fc)
+                return self._mds_mxu(s, bms, fc)
 
             def partial_round(r, s):
                 s = self._add_f(s, rc_ref[r])
-                s0 = self._sbox(s[:1], mnp, mp)
+                s0 = self._sbox(s[:1], fc)
                 s = jnp.concatenate([s0, s[1:]], axis=0)
-                return self._mds_mxu(s, bms, mnp, mp)
+                return self._mds_mxu(s, bms, fc)
 
             state = jax.lax.fori_loop(0, half, full_round, state)
             state = jax.lax.fori_loop(half, half + r_p, partial_round, state)
             state = jax.lax.fori_loop(half + r_p, rounds, full_round, state)
             o_ref[:] = state
 
-        bm_specs = [
-            pl.BlockSpec(bm.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for bm in self._bm_host
-        ]
+        bm_specs = self.const_specs(
+            [a for pair in self._bm_i8 for a in pair]
+        )
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * self.W), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self.field_const_specs() + [
                 pl.BlockSpec((rounds, t, L, 1), lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + bm_specs + [
@@ -218,11 +220,12 @@ class PoseidonKernels(PallasFieldOps):
         npad = -B % T
         if npad:
             state = jnp.pad(state, ((0, 0), (0, 0), (0, npad)))
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
         rc = jnp.asarray(self._rc_host)
-        bms = [jnp.asarray(bm, dtype=jnp.bfloat16) for bm in self._bm_host]
-        out = self._perm_fn(T, B + npad)(mnp, mp, rc, *bms, state)
+        bms = [
+            jnp.asarray(a) for pair in self._bm_i8 for a in pair
+        ]
+        out = self._perm_fn(T, B + npad)(
+            *self.field_const_inputs(), rc, *bms, state)
         return out[..., :B] if npad else out
 
     def permute_pm(self, state):

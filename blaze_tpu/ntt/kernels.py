@@ -55,9 +55,7 @@ class NTTKernels(PallasFieldOps):
         self._jit_cache: dict = {}
 
     def _consts(self):
-        mnp = jnp.asarray(self._mnp_host, dtype=jnp.bfloat16)
-        mp = jnp.asarray(self._mp_host, dtype=jnp.bfloat16)
-        return mnp, mp
+        return self.field_const_inputs()
 
     # ------------------------------------------------------------- base NTT
     def _ntt_fn(self, K: int, Bp: int, T: int, in_dtype):
@@ -72,13 +70,14 @@ class NTTKernels(PallasFieldOps):
         logK = K.bit_length() - 1
         assert 1 << logK == K
 
-        def kernel(mnp_ref, mp_ref, tw_ref, x_ref, o_ref):
+        def kernel(*args):
+            tw_ref, x_ref, o_ref = args[4:]
+            fc = self.read_consts(args)
             x = x_ref[:].astype(jnp.uint32)            # (K, L, T)
             # twiddles arrive lane-EXPANDED (K, L, T): Mosaic cannot lower
             # a lane+sublane broadcast of a (m, L, 1) slice, so the lanes
             # are made concrete in HBM (2 MiB u16 at K=512)
             tw = tw_ref[:].astype(jnp.uint32)
-            mnp, mp = mnp_ref[:], mp_ref[:]
             for s in range(logK):
                 m = 1 << s
                 g2 = K >> (s + 1)
@@ -91,7 +90,7 @@ class NTTKernels(PallasFieldOps):
                     w = jnp.broadcast_to(
                         tw[m - 1 : 2 * m - 1][None], (g2, m, L, T)
                     ).reshape(g2 * m, L, T)
-                    wb = self._mont_mul(w, b, mnp, mp)
+                    wb = self._mont_mul(w, b, fc)
                 lo = self._add_f(a, wb)
                 hi = self._sub_f(a, wb)
                 x = jnp.stack(
@@ -103,11 +102,7 @@ class NTTKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * self.W), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+            in_specs=self.field_const_specs() + [
                 pl.BlockSpec((K, L, T), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, L, T), lambda i: (0, 0, i),
@@ -143,8 +138,8 @@ class NTTKernels(PallasFieldOps):
         npad = _lane_pad(B, T)
         if npad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, npad)))
-        mnp, mp = self._consts()
-        out = self._ntt_fn(K, B + npad, T, x.dtype)(mnp, mp, twid_pack, x)
+        out = self._ntt_fn(K, B + npad, T, x.dtype)(
+            *self._consts(), twid_pack, x)
         return out[..., :B] if npad else out
 
     # --------------------------------------------------- elementwise muls
@@ -158,13 +153,14 @@ class NTTKernels(PallasFieldOps):
 
         L = self.L
 
-        def kernel(mnp_ref, mp_ref, *refs):
+        def kernel(*args):
+            refs = args[4:]
+            fc = self.read_consts(args)
             o_ref = refs[-1]
             xs = [r[:].astype(jnp.uint32) for r in refs[:-1]]
-            mnp, mp = mnp_ref[:], mp_ref[:]
-            acc = self._mont_mul(xs[0], xs[1], mnp, mp)
+            acc = self._mont_mul(xs[0], xs[1], fc)
             for extra in xs[2:]:
-                acc = self._mont_mul(acc, extra, mnp, mp)
+                acc = self._mont_mul(acc, extra, fc)
             o_ref[:] = acc.astype(jnp.uint16)
 
         blk = pl.BlockSpec((BA, L, BN), lambda i, j: (i, 0, j),
@@ -172,12 +168,7 @@ class NTTKernels(PallasFieldOps):
         call = pl.pallas_call(
             kernel,
             grid=(M // BA, Np // BN),
-            in_specs=[
-                pl.BlockSpec((2 * L, 3 * self.W), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * L, 2 * L), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + [blk] * nin,
+            in_specs=self.field_const_specs() + [blk] * nin,
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((M, L, Np), jnp.uint16),
             compiler_params=pltpu.CompilerParams(
@@ -207,7 +198,7 @@ class NTTKernels(PallasFieldOps):
         npad = _lane_pad(N, BN)
         if npad:
             ops = [jnp.pad(o, ((0, 0), (0, 0), (0, npad))) for o in ops]
-        mnp, mp = self._consts()
         dts = tuple(str(o.dtype) for o in ops)
-        out = self._mul_fn(M, N + npad, BA, BN, len(ops), dts)(mnp, mp, *ops)
+        out = self._mul_fn(M, N + npad, BA, BN, len(ops), dts)(
+            *self._consts(), *ops)
         return out[..., :N] if npad else out

@@ -340,7 +340,20 @@ class NTTInput:
 
 class NTTClient(DriverPrimitive):
     """Double-buffered NTT: two device slots, start/wait per slot —
-    behavioral parity with the pipelined flow (integration_ntt.rs:103-136)."""
+    behavioral parity with the pipelined flow (integration_ntt.rs:103-136).
+
+    On TPU at reference scale the client runs the BLOCKED u16 residency
+    end to end: wire bytes land as the (n/128, L, 128) tile-native layout
+    (a flat (n, L) u16 array is 8x-padded by TPU (8, 128) tiling — the
+    2^26/2^27 OOM), the transform is the donated-buffer `ntt16b` path,
+    and no Montgomery conversion pass ever runs: canonical bytes in give
+    canonical bytes out, because mont-form is a ring isomorphism and the
+    twiddles are stored as mont representatives (a linear map computed in
+    representation space maps representatives to representatives — input
+    limbs c are the representative of c/R, output limbs are
+    R*(NTT(c)/R) = NTT(c)).  This makes the client the 2^27 interface the
+    reference exposes (ntt_api.rs:72-125), not just a small-size wrapper.
+    """
 
     NOF_BUFFERS = 2
 
@@ -356,7 +369,12 @@ class NTTClient(DriverPrimitive):
         self.ctx = ctx or DeviceContext()
         self.plan = make_ntt(self.spec, init.logn)
         self.inverse = inverse
-        self._slots = [None] * self.NOF_BUFFERS      # device inputs (mont)
+        # blocked u16 residency when the plan supports it (FusedNTT on
+        # TPU with multi-level parts): the only layout that fits 2^26+
+        self._blocked = bool(
+            getattr(self.plan, "ntt_blocked_available", lambda: False)()
+        )
+        self._slots = [None] * self.NOF_BUFFERS      # device inputs
         self._results = [None] * self.NOF_BUFFERS    # in-flight outputs
 
     def loaded_binary_parameters(self) -> ImageParams:
@@ -375,11 +393,28 @@ class NTTClient(DriverPrimitive):
 
     def set_data(self, input: NTTInput) -> None:
         with timed(self._timings, "set_data_s"):
+            n = 1 << self.logn
+            if self._blocked:
+                # wire bytes ARE the LE u16 limb image: a zero-copy view,
+                # then the host-side blocked reshape (the preprocess /
+                # bank-scatter analog, ntt_data.rs:80-111)
+                if isinstance(input.data, (bytes, bytearray, memoryview)):
+                    u16 = np.frombuffer(input.data, dtype="<u2").reshape(
+                        -1, self.spec.nlimbs
+                    )
+                else:
+                    u16 = np.asarray(input.data).astype(np.uint16)
+                if u16.shape[0] != n:
+                    raise InvalidPrimitiveParam(
+                        f"want {n} elements, got {u16.shape[0]}"
+                    )
+                xb = self.plan.to_blocked(u16)
+                self._slots[input.buf_host] = _device_put(xb, self.ctx.device)
+                return
             if isinstance(input.data, (bytes, bytearray, memoryview)):
                 limbs = bytes_to_limbs(input.data, self.spec)
             else:
                 limbs = np.asarray(input.data, dtype=np.uint32)
-            n = 1 << self.logn
             if limbs.shape[0] != n:
                 raise InvalidPrimitiveParam(
                     f"want {n} elements, got {limbs.shape[0]}"
@@ -393,6 +428,15 @@ class NTTClient(DriverPrimitive):
             raise NotReady(f"buffer {buf_kernel} empty")
         with timed(self._timings, "start_s"):
             self._push_task()
+            if self._blocked:
+                # donated blocked transform: the input buffer is CONSUMED
+                # (its HBM pages become the output) — at 4 GiB/buffer
+                # (ntt_data.rs:42) anything else would double residency
+                fn = self.plan.intt16b if self.inverse else self.plan.ntt16b
+                slot = self._slots[buf_kernel]
+                self._slots[buf_kernel] = None
+                self._results[buf_kernel] = fn(slot)
+                return
             fn = self.plan.intt if self.inverse else self.plan.ntt
             self._results[buf_kernel] = fn(self._slots[buf_kernel])
 
@@ -416,9 +460,14 @@ class NTTClient(DriverPrimitive):
         r = self._results[buf_kernel]
         if r is None:
             return None
-        canon = self.plan.field.from_mont(r)
         self._results[buf_kernel] = None
         self._pop_task()
+        if self._blocked:
+            # canonical-in gave canonical-out (see class docstring): the
+            # inverse blocked reshape then a raw u16 dump IS the wire format
+            flat = self.plan.from_blocked(np.asarray(jax.device_get(r)))
+            return np.ascontiguousarray(flat.astype("<u2", copy=False)).tobytes()
+        canon = self.plan.field.from_mont(r)
         return limbs_to_bytes(np.asarray(canon), self.spec)
 
 

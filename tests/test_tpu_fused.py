@@ -241,3 +241,42 @@ def test_dist_fused_single_device_mesh():
     pts = curve.fq.to_mont(jnp.asarray(points))
     out = dmsm(pts, jnp.asarray(scalars), window_bits=8)
     assert _affine_of(curve, out) == exp_aff
+
+
+def test_ntt_client_blocked_lifecycle():
+    """The client lifecycle IS the at-scale NTT interface (the reference
+    runs its fixed 2^27 through set_data/start/wait/result,
+    ntt_api.rs:72-125).  At logn=16 the blocked u16 residency engages
+    (parts [8, 8] -> A = C = 256): canonical wire bytes in, canonical
+    bytes out with no Montgomery passes, checked against the fused plan
+    driven explicitly through to_mont/from_mont, plus a bit-exact
+    inverse round-trip."""
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.runtime.clients import NTTClient, NTTInit, NTTInput
+
+    spec = FIELDS["bls12_381_fr"]
+    logn, n = 16, 1 << 16
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 16, size=(n, spec.nlimbs), dtype=np.uint16)
+    vals[:, -1] &= 0x3FFF                     # keep < p (255-bit field)
+    data = vals.astype("<u2").tobytes()
+
+    cl = NTTClient(NTTInit(field=spec, logn=logn))
+    assert cl._blocked, "blocked residency should engage on TPU at 2^16"
+    cl.set_data(NTTInput(data=data))
+    cl.start_process()
+    cl.wait_result()
+    out = cl.result()
+
+    # independent reference: the same plan driven mont-explicitly
+    f = cl.plan.field
+    x = jnp.asarray(vals.astype(np.uint32))
+    ref = np.asarray(f.from_mont(cl.plan.ntt(f.to_mont(x))))
+    got = np.frombuffer(out, dtype="<u2").reshape(n, spec.nlimbs)
+    assert np.array_equal(got.astype(np.uint32), ref)
+
+    inv = NTTClient(NTTInit(field=spec, logn=logn), inverse=True)
+    inv.set_data(NTTInput(data=out))
+    inv.start_process()
+    inv.wait_result()
+    assert inv.result() == data
