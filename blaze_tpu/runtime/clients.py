@@ -507,7 +507,12 @@ class PoseidonClient(DriverPrimitive):
         self.ctx = ctx or DeviceContext()
         self._param: Optional[PoseidonInitializeParameters] = None
         self._builder: Optional[MerkleTreeBuilder] = None
-        self._stream: list = []     # accumulated 32 B elements
+        # Streamed elements accumulate as whole ARRAY chunks (not one
+        # Python object per element — the reference streams 32 B records
+        # by DMA, poseidon_api.rs:117-122; at 2^15-leaf scale a per-element
+        # list is the client bottleneck, not the hash engine).
+        self._chunks: list = []
+        self._count: int = 0
         self._tree = None
 
     def loaded_binary_parameters(self) -> ImageParams:
@@ -536,24 +541,30 @@ class PoseidonClient(DriverPrimitive):
         self._builder = MerkleTreeBuilder(
             self.spec, leaf_params=leaf_params, node_params=node_params
         )
-        self._stream.clear()
+        self._chunks.clear()
+        self._count = 0
         self._tree = None
 
     def set_data(self, data) -> None:
-        """Stream 32 B elements (poseidon_api.rs:117-122); the reference
-        feeds 11 elements per leaf (integration_poseidon.rs:151-155)."""
+        """Stream elements (poseidon_api.rs:117-122); the reference feeds
+        11 elements per leaf (integration_poseidon.rs:151-155).  Accepts
+        one element or ANY number of elements per call — wire bytes or a
+        (k, L) limb array — staged wholesale as arrays."""
         with timed(self._timings, "set_data_s"):
             limbs = (
                 bytes_to_limbs(data, self.spec)
                 if isinstance(data, (bytes, bytearray, memoryview))
-                else np.asarray(data, dtype=np.uint32).reshape(-1, self.spec.nlimbs)
+                else np.asarray(data, dtype=np.uint32).reshape(
+                    -1, self.spec.nlimbs
+                )
             )
-            self._stream.extend(limbs)
+            self._chunks.append(limbs)
+            self._count += limbs.shape[0]
 
     def get_last_element_sent_to_ring(self) -> int:
         """Element counter (sanity-test contract,
         integration_poseidon.rs:52-56)."""
-        return len(self._stream)
+        return self._count
 
     def start_process(self, param=None) -> None:
         if self._param is None or self._builder is None:
@@ -562,13 +573,17 @@ class PoseidonClient(DriverPrimitive):
         nleaves = base_layer_size(h)
         want = nleaves * (LEAF_ARITY if self._param.tree_mode == TreeMode.TREE_C
                           else 1)
-        if len(self._stream) < want:
+        if self._count < want:
             raise NotReady(
-                f"need {want} elements for height {h}, have {len(self._stream)}"
+                f"need {want} elements for height {h}, have {self._count}"
             )
         with timed(self._timings, "start_s"):
             self._push_task()
-            arr = np.stack(self._stream[:want])
+            arr = (
+                self._chunks[0]
+                if len(self._chunks) == 1
+                else np.concatenate(self._chunks, axis=0)
+            )[:want]
             if self._param.tree_mode == TreeMode.TREE_C:
                 arr = arr.reshape(nleaves, LEAF_ARITY, self.spec.nlimbs)
             self._tree = self._builder.build(arr, h, self._param.tree_mode)
@@ -581,17 +596,56 @@ class PoseidonClient(DriverPrimitive):
             if self._tree is not None:
                 self._tree.block_until_ready()
 
+    def result_arrays(self):
+        """Array-speed drain: [(layer_id, (count, L) uint32 canonical)]
+        per tree layer, leaf layer first.  The reference's streaming
+        drain (poseidon_api.rs:128-145) at client scale — no per-node
+        Python objects."""
+        if self._tree is None:
+            return None
+        out = [
+            (lid, np.asarray(layer))
+            for lid, layer in enumerate(self._tree.layers)
+        ]
+        self._pop_task()
+        return out
+
+    def result_raw(self) -> Optional[bytes]:
+        """Wire-format drain: the reference's 64 B record stream — 32 B
+        LE hash + packed meta with hash_id in the low 30 bits and
+        layer_id above (PoseidonResult::parse_poseidon_hash_results,
+        poseidon_api.rs:42-71) — built with array ops."""
+        layers = self.result_arrays()
+        if layers is None:
+            return None
+        nbytes = self.spec.nbytes
+        parts = []
+        for lid, arr in layers:
+            n = arr.shape[0]
+            rec = np.zeros((n, 64), np.uint8)
+            rec[:, :nbytes] = np.frombuffer(
+                limbs_to_bytes(arr, self.spec), np.uint8
+            ).reshape(n, nbytes)
+            meta = (
+                (np.arange(n, dtype=np.uint64) & np.uint64(0x3FFFFFFF))
+                | (np.uint64(lid) << np.uint64(30))
+            )
+            rec[:, 32:40] = meta.astype("<u8")[:, None].view(np.uint8)
+            parts.append(rec.tobytes())
+        return b"".join(parts)
+
     def result(self, expected_count: Optional[int] = None):
         """Drain records (poseidon_api.rs:128-145)."""
-        if self._tree is None:
+        layers = self.result_arrays()
+        if layers is None:
             return None
         recs = [
             PoseidonResult(
                 hash=limbs_to_bytes(h, self.spec), hash_id=hid, layer_id=lid
             )
-            for (h, lid, hid) in self._tree.records()
+            for lid, arr in layers
+            for hid, h in enumerate(arr)
         ]
-        self._pop_task()
         if expected_count is not None and len(recs) != expected_count:
             raise NotReady(
                 f"expected {expected_count} nodes, got {len(recs)}"

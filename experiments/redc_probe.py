@@ -1,22 +1,18 @@
 """Decompose the fused Montgomery-mul cost into its REDC components.
 
-vpu_mul_probe showed the a*b convolution is ~5% of the kernel (41 ns of
-760 ns per tile); this probe times the REDC pieces the other 95% is made
-of, chained in-kernel (M=1 vs M=129 slope isolates per-op cost):
+Times bodies chained in-kernel (M=1 vs M=129 slope isolates per-op cost)
+against the CURRENT int8-REDC field layer (fields/kernel_ops.py):
 
-  mont        full _mont_mul (baseline)
-  conv        u32 product convolution only
-  ks_carry    one Kogge-Stone carry normalization of (L, T)
-  serial_c    24-step serial (1, T) carry fold (c1 candidate)
-  fold1       single value fold of (W, T) columns
-  split_bf16  3-plane byte split + i32->bf16 cast of (W, T)
-  mm_bf16     the m matmul (2L, 3W) @ (3W, T) in bf16 + f32->u32 back
-  mm_i8       same matmul with int8 operands + i32 accumulate
-  qmm_bf16    the q matmul (4L, 2L) @ (2L, T) in bf16
-  add_f       lazy field add (carry + cond-sub 2p)
-  sub_f       field sub (borrow + conditional modulus add-back)
+  mont      full _mont_mul
+  conv      u32 product convolution only
+  ks_carry  one Kogge-Stone carry normalization of (L, T)
+  mm_i8     the K-trimmed int8 m matmul (_dot_exact, (2L, 3L-1))
+  qmm_i8    the int8 q matmul (_dot_exact, (4L, 2L))
+  redc      full _redc on a synthetic (W, T) accumulator
+  add_f     lazy field add (carry + cond-sub 2p)
+  sub_f     field sub (borrow + conditional modulus add-back)
 
-Usage: python experiments/redc_probe.py [T] [NTILES]
+Usage: python experiments/redc_probe.py [T] [NTILES] [names_csv]
 """
 import sys
 import time
@@ -39,9 +35,7 @@ spec = CURVES["bls12_381"]
 kern = ECKernels.for_curve(spec, tile=T)
 L, W = kern.L, kern.W
 B = NTILES * T
-
-mnp_h = kern._mnp_host                   # (2L, 3W)
-mp_h = kern._mp_host                     # (4L, 2L)
+NC = 4  # field consts
 
 
 def sync(x):
@@ -57,123 +51,83 @@ def conv_u32(a, b):
     return acc
 
 
-def make_chain(body, M, i8=False):
-    def kernel(mnp_ref, mp_ref, a_ref, b_ref, o_ref):
+def make_chain(body, M):
+    def kernel(*args):
+        fc = kern.read_consts(args)
+        a_ref, b_ref, o_ref = args[NC:]
         a = a_ref[:]
         b = b_ref[:]
-        mnp, mp = mnp_ref[:], mp_ref[:]
 
         def step(_, x):
-            return body(x, b, mnp, mp)
+            return body(x, b, fc)
 
         o_ref[:] = jax.lax.fori_loop(0, M, step, a)
 
-    mdt = jnp.int8 if i8 else jnp.bfloat16
     call = pl.pallas_call(
         kernel,
         grid=(NTILES,),
-        in_specs=[
-            pl.BlockSpec((2 * L, 3 * W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        in_specs=kern.field_const_specs() + [
             pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
     )
-    mnp = jnp.asarray(
-        (mnp_h - 128.0) if i8 else mnp_h, dtype=mdt
-    )
-    mp = jnp.asarray((mp_h - 128.0) if i8 else mp_h, dtype=mdt)
     fn = jax.jit(call)
-    return lambda a, b: fn(mnp, mp, a, b)
+    consts = kern.field_const_inputs()
+    return lambda a, b: fn(*consts, a, b)
 
 
 # --------------------------------------------------------------- bodies
-def b_mont(x, b, mnp, mp):
-    return kern._mont_mul(x, b, mnp, mp)
+def b_mont(x, b, fc):
+    return kern._mont_mul(x, b, fc)
 
 
-def b_conv(x, b, mnp, mp):
+def b_conv(x, b, fc):
     return conv_u32(x, b)[:L] & LIMB_MASK
 
 
-def b_ks(x, b, mnp, mp):
+def b_ks(x, b, fc):
     out, over = kern._ks_carry(x + b)
     return out
 
 
-def b_serial(x, b, mnp, mp):
-    c = jnp.zeros((1, x.shape[1]), jnp.uint32)
-    for j in range(L):
-        c = (x[j : j + 1] + c) >> LIMB_BITS
-    return x + c
-
-
-def b_fold1(x, b, mnp, mp):
-    hi = x >> LIMB_BITS
-    v = (x & LIMB_MASK) + jnp.pad(hi, ((1, 0), (0, 0)))[:L]
-    return v
-
-
-def b_split(x, b, mnp, mp):
+def b_mm_i8(x, b, fc):
     t8 = jnp.concatenate(
-        [x & 0xFF, (x >> 8) & 0xFF, x >> 16], axis=0
-    ).astype(jnp.int32).astype(jnp.bfloat16)
-    return t8[:L].astype(jnp.int32).astype(jnp.uint32) + b
+        [x & 0xFF, (x >> 8) & 0xFF, x[: L - 1] >> 8], axis=0
+    )
+    mc = kern._dot_exact(fc[0], fc[1], t8)   # (2L, T)
+    return (mc[:L] + mc[L:]) & LIMB_MASK
 
 
-def b_mm_bf16(x, b, mnp, mp):
-    t8 = jnp.concatenate(
-        [x & 0xFF, (x >> 8) & 0xFF, x >> 16], axis=0
-    ).astype(jnp.int32).astype(jnp.bfloat16)             # (3W->147, T)? (3L)
-    # pad rows to 3W for the matmul input
-    t8 = jnp.pad(t8, ((0, 3 * W - 3 * L), (0, 0)))
-    m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.float32)
-    mc = m_cols.astype(jnp.int32).astype(jnp.uint32)     # (2L, T)
-    return mc[:L] + mc[L:]
+def b_qmm_i8(x, b, fc):
+    m8 = jnp.concatenate([x & 0xFF, x >> 8], axis=0)
+    qc = kern._dot_exact(fc[2], fc[3], m8)   # (4L, T)
+    return (qc[:L] + qc[L : 2 * L]) & LIMB_MASK
 
 
-def b_mm_i8(x, b, mnp, mp):
-    # centered int8 operand + ones-row correction (exact i32 accumulation)
-    t8 = (
-        jnp.concatenate([x & 0xFF, (x >> 8) & 0xFF, x >> 16], axis=0)
-        .astype(jnp.int32) - 128
-    ).astype(jnp.int8)
-    t8 = jnp.pad(t8, ((0, 3 * W - 3 * L), (0, 0)), constant_values=-128)
-    m_cols = jnp.dot(mnp, t8, preferred_element_type=jnp.int32)
-    mc = m_cols.astype(jnp.uint32)                       # (2L, T)
-    return mc[:L] + mc[L:]
+def b_redc(x, b, fc):
+    acc = jnp.pad(x + b, ((0, W - L), (0, 0)))
+    return kern._redc(acc, fc)
 
 
-def b_qmm_bf16(x, b, mnp, mp):
-    m8 = jnp.concatenate([x & 0xFF, x >> 8], axis=0).astype(
-        jnp.int32).astype(jnp.bfloat16)                  # (2L, T)
-    q_cols = jnp.dot(mp, m8, preferred_element_type=jnp.float32)
-    qc = q_cols.astype(jnp.int32).astype(jnp.uint32)     # (4L, T)
-    return qc[:L] + qc[L : 2 * L]
-
-
-def b_add(x, b, mnp, mp):
+def b_add(x, b, fc):
     return kern._add_f(x, b)
 
 
-def b_sub(x, b, mnp, mp):
+def b_sub(x, b, fc):
     return kern._sub_f(x, b)
 
 
 BODIES = {
-    "mont": (b_mont, False),
-    "conv": (b_conv, False),
-    "ks_carry": (b_ks, False),
-    "serial_c": (b_serial, False),
-    "fold1": (b_fold1, False),
-    "split_bf16": (b_split, False),
-    "mm_bf16": (b_mm_bf16, False),
-    "mm_i8": (b_mm_i8, True),
-    "qmm_bf16": (b_qmm_bf16, False),
-    "add_f": (b_add, False),
-    "sub_f": (b_sub, False),
+    "mont": b_mont,
+    "conv": b_conv,
+    "ks_carry": b_ks,
+    "mm_i8": b_mm_i8,
+    "qmm_i8": b_qmm_i8,
+    "redc": b_redc,
+    "add_f": b_add,
+    "sub_f": b_sub,
 }
 
 rng = np.random.RandomState(0)
@@ -182,11 +136,11 @@ b = jnp.asarray(rng.randint(0, 1 << 16, size=(L, B), dtype=np.int64).astype(np.u
 
 names = sys.argv[3].split(",") if len(sys.argv) > 3 else list(BODIES)
 for name in names:
-    body, i8 = BODIES[name]
+    body = BODIES[name]
     try:
         ts = {}
         for M in (1, 129):
-            fn = make_chain(body, M, i8)
+            fn = make_chain(body, M)
             o = fn(a, b)
             sync(o)
             best = 1e9
