@@ -50,18 +50,47 @@ class DistributedMSM:
                 # Per-shard chunked fused-kernel path: the same Pallas
                 # scan/reduce kernels as single-chip MSM (msm/pippenger.py
                 # _fused_chunk), so multi-chip throughput scales from the
-                # fast local baseline, not the portable one.
+                # fast local baseline, not the portable one.  Chunks ride
+                # ONE lax.scan instance (not a Python unroll): the graph
+                # holds one chunk's kernels regardless of per-shard size,
+                # keeping compile time and transient liveness flat — the
+                # single-chip path gets the same effect by re-dispatching
+                # one compiled kernel per chunk from Python, which is not
+                # possible inside a shard_map body.
+                from ..msm.pippenger import _vary_like
+
                 n = pts.shape[0]
                 chunk = 1 << self.engine.config.chunk_log2
-                wsums = None
-                for lo in range(0, n, chunk):
-                    hi = min(lo + chunk, n)
-                    part = self.engine._fused_chunk(
-                        pts[lo:hi], scal[lo:hi], c, scalar_bits
+                if n <= chunk:
+                    wsums = self.engine._fused_chunk(pts, scal, c,
+                                                     scalar_bits)
+                elif n % chunk == 0:
+                    gp = pts.reshape(n // chunk, chunk, *pts.shape[1:])
+                    gs = scal.reshape(n // chunk, chunk, *scal.shape[1:])
+                    nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
+                    L = self.curve.nlimbs
+                    ident = _vary_like(
+                        jnp.broadcast_to(self.curve.identity(),
+                                         (nwin, 3, L)),
+                        pts,
                     )
-                    wsums = part if wsums is None else self.curve.add(
-                        wsums, part
-                    )
+
+                    def body(acc, xs):
+                        p, s = xs
+                        part = self.engine._fused_chunk(p, s, c, scalar_bits)
+                        return self.curve.add(acc, part), None
+
+                    wsums, _ = jax.lax.scan(body, ident, (gp, gs))
+                else:
+                    wsums = None
+                    for lo in range(0, n, chunk):
+                        hi = min(lo + chunk, n)
+                        part = self.engine._fused_chunk(
+                            pts[lo:hi], scal[lo:hi], c, scalar_bits
+                        )
+                        wsums = part if wsums is None else self.curve.add(
+                            wsums, part
+                        )
             else:
                 wsums = self.engine.msm_chunk(pts, scal, c, scalar_bits)
             gathered = jax.lax.all_gather(wsums, self.axis)      # (D, W, 3, L)

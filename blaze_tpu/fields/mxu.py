@@ -106,7 +106,7 @@ class MXUMont:
             cls._CACHE[spec.name] = inst
         return inst
 
-    def __init__(self, spec: FieldSpec, tile: int = 512):
+    def __init__(self, spec: FieldSpec, tile: int = 1024):
         self.spec = spec
         self.tile = tile
         L = self.L = spec.nlimbs

@@ -216,7 +216,9 @@ class PoseidonKernels(PallasFieldOps):
     def permute_lm(self, state):
         """Fused permutation of (t, L, B) uint32 Montgomery states."""
         t, L, B = state.shape
-        T = 512 if B >= 512 else 128
+        # bigger lane tiles amortize per-tile MXU<->VPU transition stalls
+        # (measured 2.2x on the standalone mul going 512 -> 1024)
+        T = 1024 if B >= 1024 else (512 if B >= 512 else 128)
         npad = -B % T
         if npad:
             state = jnp.pad(state, ((0, 0), (0, 0), (0, npad)))

@@ -60,7 +60,7 @@ class FusedNTT:
 
     def __init__(self, spec: FieldSpec, logn: int, klog: int = KLOG,
                  slab_lanes: int = SLAB_LANES, interpret: bool = False,
-                 block: int = 128):
+                 block: int = 128, ktile: int | None = None):
         if logn > spec.two_adicity:
             raise ValueError(
                 f"{spec.name}: 2-adicity {spec.two_adicity} < logn {logn}"
@@ -72,6 +72,16 @@ class FusedNTT:
         self.parts = split_parts(logn, klog)
         self.block = block          # blocked-layout lane count (see below)
         self._slab = slab_lanes
+        # Base-kernel lane tile: bigger tiles amortize the per-tile
+        # MXU<->VPU transition stalls (measured on the standalone mul:
+        # 419 -> 505 -> 1116 M muls/s at T = 256 / 512 / 1024); VMEM for
+        # the (K, L, T) working set bounds it above.
+        import os as _os
+
+        want = ktile or int(_os.environ.get("BLZ_NTT_KTILE", "512"))
+        # never exceed the plan's smallest lane extent (depth-0 columns)
+        cmin = 1 << max(logn - self.parts[0], 0)
+        self.ktile = max(128, min(want, cmin))
         self.kern = NTTKernels.for_spec(spec, interpret)
 
         p, L = spec.p, spec.nlimbs
@@ -107,8 +117,8 @@ class FusedNTT:
                                 axis=0)[:, :, None]
                 # lane-expanded u16 (kernels.py needs concrete lanes)
                 self._packs[(a, inv)] = (
-                    jnp.broadcast_to(pack, (A, L, 128)).astype(jnp.uint16)
-                    + jnp.uint16(0)
+                    jnp.broadcast_to(pack, (A, L, self.ktile))
+                    .astype(jnp.uint16) + jnp.uint16(0)
                 )
 
         # ---- inter-level split twiddle tables, one pair per node depth.

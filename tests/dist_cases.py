@@ -99,3 +99,44 @@ def test_distributed_msm_2d_mesh():
     aff = curve.to_affine(res[None])[0]
     got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
     assert got == expected
+
+
+def test_pipeline_dist_ntt_feeds_msm():
+    """BASELINE config 5 composition on a mesh: the sharded NTT's
+    spectral output becomes the dp-sharded MSM's scalars, end to end in
+    one flow, oracle-checked (delta input -> scalars are W^i)."""
+    from blaze_tpu.oracle import ECOracle, tiled_msm_instance
+    from blaze_tpu.pipeline import ProofPipeline
+
+    spec = CURVES["bn254"]
+    curve = Curve(spec)
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    ntt_logn, msm_logn = 6, 5
+    n_msm = 1 << msm_logn
+
+    pipe = ProofPipeline(curve, ntt_logn, msm_logn, mesh=mesh)
+
+    # delta_1 coefficients -> NTT gives W^t in natural order
+    F = Field(spec.fr)
+    coeffs = np.zeros((1 << ntt_logn,), dtype=object)
+    ints = [0] * (1 << ntt_logn)
+    ints[1] = 1
+    x = F.from_int(ints)
+
+    points, _, _, dbg = tiled_msm_instance(spec, n_msm, seed=77)
+    pts_mont = curve.fq.to_mont(jnp.asarray(points))
+
+    mask = np.zeros(spec.fr.nlimbs, np.uint32)
+    mask[0] = 0xFF                         # 8 live scalar bits
+    out = pipe.run_dist(x, pts_mont, window_bits=4, scalar_bits=8,
+                        scalar_mask=mask)
+    jax.block_until_ready(out)
+
+    aff = curve.to_affine(out[None])[0]
+    got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+
+    w = spec.fr.root_of_unity(ntt_logn)
+    p = spec.fr.p
+    scalars = [pow(w, i, p) & 0xFF for i in range(n_msm)]
+    expected = ECOracle(spec).msm(dbg["points"][:n_msm], scalars)
+    assert got == expected

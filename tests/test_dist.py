@@ -31,3 +31,40 @@ def test_distributed_suite_subprocess():
         print(proc.stdout[-4000:])
         print(proc.stderr[-4000:])
     assert proc.returncode == 0, "distributed cases failed (see output)"
+
+
+def test_multihost_two_process_msm():
+    """REAL jax.distributed bootstrap: 2 localhost processes x 2 virtual
+    CPU devices = one 4-device global mesh, data-parallel MSM sharded
+    across processes, oracle-checked in each (dist/mesh.py
+    init_distributed's only honest exercise without a pod)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(f"--- proc {pid} output ---\n{out[-4000:]}")
+        assert p.returncode == 0, f"worker {pid} failed"
+        assert "oracle-exact" in out
