@@ -46,8 +46,15 @@ def main():
     a = F.from_int([xs[i % 256] for i in range(n)])
     b = F.from_int([xs[(i * 7 + 3) % 256] for i in range(n)])
 
+    from .profile import bench_kernel, field_mul_traffic_bytes
+
     mul = jax.jit(F.mul)
-    t = timeit(mul, a, b)
+    stats = bench_kernel(
+        mul, (a, b), name=f"mont_mul[{name}]", reps=10,
+        bytes_accessed=field_mul_traffic_bytes(n, spec.nlimbs),
+    )
+    t = stats.best_s
+    print(stats.summary())
     print(f"u32conv  {name} batch 2^{logb}: {t*1e3:8.3f} ms  "
           f"{n/t/1e6:8.2f} Mmul/s")
 

@@ -69,6 +69,38 @@ def test_ntt_golden_bytes():
     assert got == want, "NTT output bytes differ from golden vector"
 
 
+def _committed_fixtures():
+    import glob
+    import re
+
+    out = []
+    for inf in sorted(glob.glob(os.path.join(FIXDIR, "ntt_*_2e*.in"))):
+        m = re.match(r"ntt_(.+)_2e(\d+)\.in$", os.path.basename(inf))
+        if m and os.path.exists(inf[:-3] + ".out"):
+            out.append((m.group(1), int(m.group(2)), inf, inf[:-3] + ".out"))
+    return out
+
+
+@__import__("pytest").mark.parametrize(
+    "field,logn,inf,outf",
+    _committed_fixtures(),
+    ids=[f"{f}_2e{n}" for f, n, _, _ in _committed_fixtures()],
+)
+def test_ntt_golden_committed_vectors(field, logn, inf, outf):
+    """Every committed fixture pair is EXTERNALLY produced
+    (scripts/gen_ntt_vectors.py: stdlib-only, no blaze_tpu import, a
+    recursive Cooley-Tukey the package doesn't use) and pinned — the
+    reference's vectors-from-outside-the-library contract
+    (integration_ntt.rs:10-18)."""
+    raw_in = open(inf, "rb").read()
+    want = open(outf, "rb").read()
+    client = NTTClient(NTTInit(field=field, logn=logn))
+    client.set_data(NTTInput(data=raw_in))
+    client.start_process()
+    client.wait_result()
+    assert client.result() == want
+
+
 def test_intt_golden_bytes_roundtrip():
     """Inverse transform of the golden output reproduces the input file."""
     inf, outf = _fixture_paths()
