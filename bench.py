@@ -300,8 +300,9 @@ def main():
         "vs_baseline": head["vs_baseline"],
         "extra": {r["metric"]: {k: v for k, v in r.items() if k != "metric"}
                   for r in recs[1:]},
-        "sol_fraction": head.get("sol_fraction"),
     }
+    for k, v in head.items():
+        out.setdefault(k, v)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

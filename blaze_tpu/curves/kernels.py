@@ -252,6 +252,9 @@ class ECKernels(PallasFieldOps):
                 jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
             ],
             scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -332,6 +335,9 @@ class ECKernels(PallasFieldOps):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -429,6 +435,9 @@ class ECKernels(PallasFieldOps):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3 * L, TL), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((3 * L, TL), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -489,6 +498,9 @@ class ECKernels(PallasFieldOps):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((3 * L, T), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -541,6 +553,9 @@ class ECKernels(PallasFieldOps):
             out_specs=pl.BlockSpec((3 * L, T), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn

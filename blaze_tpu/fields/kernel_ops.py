@@ -35,10 +35,13 @@ import numpy as np
 from .mxu import MXUMont
 from .spec import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
 
-# Lane budget per fused-multiply slab: bounds the bf16/f32 REDC temporaries
-# of one wave to a few MB of VMEM regardless of how large a batch callers
+# Lane budget per fused-multiply slab: bounds the int8/i32 REDC temporaries
+# of one wave to ~15 MB of VMEM regardless of how large a batch callers
 # pass (leading dims are processed in chunks of this many total lanes).
-MAX_WAVE_LANES = 1 << 13
+# Sized so a full 6-mul wave at the 2048-lane kernel tile (12288 lanes)
+# rides ONE matmul round — the MXU<->VPU transition amortization that
+# took the standalone mul 419 -> 1116 M muls/s (T = 256 -> 1024).
+MAX_WAVE_LANES = 1 << 14
 
 
 class PallasFieldOps:

@@ -66,7 +66,10 @@ class MSMConfig:
     scan_lanes: int = 0            # 0 = auto (~sqrt of padded chunk)
     group_windows: int = 6         # windows co-scanned per pass (memory bound)
     fused: str = "auto"            # fused Pallas EC kernels: auto/on/off
-    kernel_tile: int = 1024        # lanes per Pallas grid block (fused path)
+    # lanes per Pallas grid block (fused path): 1024 measured best — the
+    # standalone mul keeps gaining to 2048, but the scan kernel's bigger
+    # working set regresses past 1024 (445 -> 520 ms per 2^20 chunk)
+    kernel_tile: int = 1024
 
     def windows(self, scalar_bits: int) -> int:
         return -(-scalar_bits // self.window_bits)
