@@ -108,6 +108,16 @@ class PoseidonKernels(PallasFieldOps):
 
         # round constants: (rounds, t, L, 1) u32 Montgomery
         self._rc_host = params.rc_mont[..., None].astype(np.uint32)
+        # R^2 column for optional in-kernel canonical->Montgomery input
+        # conversion (mont_mul(x, R^2) = xR): folding it here removes the
+        # standalone to_mont pass (measured 253 ms at 2^15 leaves — more
+        # than the whole 109 ms permutation)
+        from ..fields.spec import int_to_limbs
+
+        r2 = (params.spec.r * params.spec.r) % params.spec.p
+        self._r2_host = np.asarray(
+            int_to_limbs(r2, self.L), np.uint32
+        )[:, None]
 
     # ------------------------------------------------------------- pieces
     def _mds_mxu(self, state, bms, fc):
@@ -142,8 +152,8 @@ class PoseidonKernels(PallasFieldOps):
         return self._mont_mul(x4, x, fc)
 
     # ------------------------------------------------------------- kernel
-    def _perm_fn(self, T: int, Bp: int):
-        key = ("perm", T, Bp)
+    def _perm_fn(self, T: int, Bp: int, convert_in: bool = False):
+        key = ("perm", T, Bp, convert_in)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -159,13 +169,17 @@ class PoseidonKernels(PallasFieldOps):
 
         def kernel(*args):
             fc = self.read_consts(args)
-            rc_ref = args[4]
-            refs = args[5:]
+            rc_ref, r2_ref = args[4], args[5]
+            refs = args[6:]
             bms = [
                 (refs[2 * g][:], refs[2 * g + 1][:]) for g in range(ngroups)
             ]
             x_ref, o_ref = refs[2 * ngroups], refs[2 * ngroups + 1]
             state = x_ref[:].astype(jnp.uint32)       # (t, L, T)
+            if convert_in:
+                # canonical limbs in: one extra wave converts the whole
+                # state to Montgomery form (x * R^2 * R^-1 = xR)
+                state = self._mont_mul(state, r2_ref[:], fc)
 
             # Round constants are loaded per round FROM THE REF with the
             # traced round index: `rc_ref[:][r]` is a dynamic_slice on a
@@ -197,6 +211,8 @@ class PoseidonKernels(PallasFieldOps):
             in_specs=self.field_const_specs() + [
                 pl.BlockSpec((rounds, t, L, 1), lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ] + bm_specs + [
                 pl.BlockSpec((t, L, T), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
@@ -213,8 +229,11 @@ class PoseidonKernels(PallasFieldOps):
         self._jit_cache[key] = fn
         return fn
 
-    def permute_lm(self, state):
-        """Fused permutation of (t, L, B) uint32 Montgomery states."""
+    def permute_lm(self, state, convert_in: bool = False):
+        """Fused permutation of (t, L, B) uint32 states.
+
+        Montgomery-form in/out; with convert_in=True the input is
+        CANONICAL and converted in-kernel (one extra mul wave)."""
         t, L, B = state.shape
         # bigger lane tiles amortize per-tile MXU<->VPU transition stalls
         # (measured 2.2x on the standalone mul going 512 -> 1024)
@@ -223,11 +242,12 @@ class PoseidonKernels(PallasFieldOps):
         if npad:
             state = jnp.pad(state, ((0, 0), (0, 0), (0, npad)))
         rc = jnp.asarray(self._rc_host)
+        r2 = jnp.asarray(self._r2_host)
         bms = [
             jnp.asarray(a) for pair in self._bm_i8 for a in pair
         ]
-        out = self._perm_fn(T, B + npad)(
-            *self.field_const_inputs(), rc, *bms, state)
+        out = self._perm_fn(T, B + npad, convert_in)(
+            *self.field_const_inputs(), rc, r2, *bms, state)
         return out[..., :B] if npad else out
 
     def permute_pm(self, state):

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +47,6 @@ def base_layer_size(height: int) -> int:
     return ARITY ** (height - 1)
 
 
-@dataclasses.dataclass
 class TreeResult:
     """All tree nodes, leaf layer first; mirrors the drained result records.
 
@@ -55,14 +55,33 @@ class TreeResult:
     layers while leaves are still being fed (integration_poseidon.rs:81-119).
     `records()`/`root` force the transfer; `block_until_ready()` is the
     wait_result hook.
+
+    The fused lanes-major build keeps layers as (L, B) Montgomery device
+    arrays and materializes the canonical points-major view lazily at
+    drain time (the hot loop never pays conversion/transpose passes).
     """
 
-    layers: list  # list of (count, L) canonical limbs (device or host)
+    def __init__(self, layers: list | None = None,
+                 layers_lm_mont: list | None = None, field=None):
+        self._layers = layers
+        self._lm = layers_lm_mont
+        self._field = field
+
+    @property
+    def layers(self):
+        """(count, L) canonical limbs per layer, leaf layer first."""
+        if self._layers is None:
+            f = self._field
+            self._layers = [
+                f.jit_op("from_mont")(jnp.swapaxes(l, 0, 1))
+                for l in self._lm
+            ]
+        return self._layers
 
     def block_until_ready(self):
         from ..utils.misc import hard_sync
 
-        hard_sync(self.layers[-1])
+        hard_sync(self._lm[-1] if self._lm is not None else self.layers[-1])
 
     def records(self):
         """(hash_limbs, layer_id, hash_id) triples, streaming order."""
@@ -96,6 +115,66 @@ class MerkleTreeBuilder:
         self.node_hasher = Poseidon(self.node_params)
         self.field = self.leaf_hasher.field
 
+    def _fused_lm(self):
+        """The lanes-major fused kernel pair, when the platform has it."""
+        from ..fields.mxu import mxu_available
+
+        if not mxu_available():
+            return None
+        if self.leaf_params.alpha != 5 or self.node_params.alpha != 5:
+            return None
+        from .kernels import PoseidonKernels
+
+        return (
+            PoseidonKernels.for_params(self.leaf_params),
+            PoseidonKernels.for_params(self.node_params),
+        )
+
+    def build_staged(self, leaf_cols_lm, height: int) -> TreeResult:
+        """TREE_C build over PRE-STAGED lanes-major canonical columns.
+
+        leaf_cols_lm: (LEAF_ARITY, L, 8^(h-1)) uint32 CANONICAL device
+        array (the client stages wire data host-side into this layout
+        once — msm/residency.py style — so no device transposes or
+        Montgomery passes run here: the conversion is folded into the
+        permutation kernel).  Everything stays lanes-major Montgomery
+        until the result is drained.
+        """
+        kerns = self._fused_lm()
+        if kerns is None:
+            raise RuntimeError("build_staged needs the fused TPU kernels")
+        kleaf, knode = kerns
+        A, L, B = leaf_cols_lm.shape
+        if A != LEAF_ARITY or B != base_layer_size(height):
+            raise ValueError(
+                f"want ({LEAF_ARITY}, L, {base_layer_size(height)}), "
+                f"got {leaf_cols_lm.shape}"
+            )
+        # convert_in multiplies the WHOLE state by R^2, so the domain tag
+        # must enter in canonical form (tag 0 is 0 either way)
+        tag_canon = self.field.jit_op("from_mont")(
+            self.leaf_hasher.domain_tag(0)[None]
+        )[0][:, None]
+        state = jnp.concatenate(
+            [jnp.broadcast_to(tag_canon, (1, L, B)),
+             jnp.asarray(leaf_cols_lm)], axis=0
+        )
+        out = kleaf.permute_lm(state, convert_in=True)      # (t, L, B) mont
+        layer = out[1]                                      # (L, B) mont
+        layers = [layer]
+        tag_n = self.node_hasher.domain_tag(0)[:, None]
+        while layer.shape[-1] > 1:
+            Bc = layer.shape[-1] // ARITY
+            grouped = jnp.moveaxis(
+                layer.reshape(L, Bc, ARITY), 2, 0
+            )                                               # (8, L, Bc)
+            state = jnp.concatenate(
+                [jnp.broadcast_to(tag_n, (1, L, Bc)), grouped], axis=0
+            )
+            layer = knode.permute_lm(state)[1]              # (L, Bc) mont
+            layers.append(layer)
+        return TreeResult(layers_lm_mont=layers, field=self.field)
+
     def build(
         self,
         elements,
@@ -108,7 +187,15 @@ class MerkleTreeBuilder:
         """
         f = self.field
         nleaves = base_layer_size(height)
-        arr = jnp.asarray(np.asarray(elements, dtype=np.uint32))
+        if mode == TreeMode.TREE_C and self._fused_lm() is not None:
+            host = np.asarray(elements, dtype=np.uint32).reshape(
+                nleaves, LEAF_ARITY, -1
+            )
+            lm = np.ascontiguousarray(host.transpose(1, 2, 0))
+            return self.build_staged(jnp.asarray(lm), height)
+        # device arrays must not round-trip through the host
+        arr = (elements if isinstance(elements, jax.Array)
+               else jnp.asarray(np.asarray(elements, dtype=np.uint32)))
         if mode == TreeMode.TREE_C:
             if arr.shape[:2] != (nleaves, LEAF_ARITY):
                 raise ValueError(

@@ -66,3 +66,27 @@ def test_permute_pm_adapter():
     out = np.asarray(kern.permute_pm(jnp.asarray(mont)[None])[0])
     want = poseidon_permutation_ref(params, s)
     assert [_from_mont_int(out[i]) for i in range(3)] == want
+
+
+def test_convert_in_matches_explicit_mont():
+    """permute_lm(convert_in=True) on CANONICAL input must equal the
+    permutation of the explicitly Montgomery-converted state (the
+    in-kernel R^2 fold that replaces the standalone to_mont pass)."""
+    t = 9
+    params = generate_params(SPEC, t)
+    kern = PoseidonKernels.for_params(params, interpret=True)
+    rng = random.Random(5)
+    states = [[rng.randrange(SPEC.p) for _ in range(t)] for _ in range(2)]
+    from blaze_tpu.fields.spec import int_to_limbs
+
+    canon = np.stack(
+        [np.stack([int_to_limbs(v, L) for v in s]) for s in states]
+    ).astype(np.uint32)
+    mont = np.stack(
+        [np.stack([_to_mont_limbs(v) for v in s]) for s in states]
+    ).astype(np.uint32)
+    lm_c = jnp.moveaxis(jnp.asarray(canon), 0, -1)
+    lm_m = jnp.moveaxis(jnp.asarray(mont), 0, -1)
+    got = np.asarray(kern.permute_lm(lm_c, convert_in=True))
+    want = np.asarray(kern.permute_lm(lm_m))
+    assert np.array_equal(got, want)

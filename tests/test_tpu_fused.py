@@ -280,3 +280,48 @@ def test_ntt_client_blocked_lifecycle():
     inv.start_process()
     inv.wait_result()
     assert inv.result() == data
+
+
+def test_poseidon_client_tree_vs_host_oracle():
+    """The staged lanes-major tree path (client lifecycle) against a
+    pure-python Poseidon computed from the same parameters: leaf sponge
+    [tag, 11 cols] -> row 1, then 8-ary node layers (the value-level
+    check the reference never does, SURVEY §4.3)."""
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.fields.spec import int_to_limbs, limbs_to_int
+    from blaze_tpu.hash.params import generate_params
+    from blaze_tpu.hash.tree import LEAF_ARITY, TreeMode, num_tree_nodes
+    from blaze_tpu.oracle.poseidon_ref import poseidon_permutation_ref
+    from blaze_tpu.runtime.clients import (
+        PoseidonClient,
+        PoseidonInitializeParameters,
+    )
+
+    spec = FIELDS["bls12_381_fr"]
+    h = 2
+    nleaves = 8
+    rng = np.random.default_rng(3)
+    vals = [int(v) for v in rng.integers(1, 1 << 60, size=nleaves * LEAF_ARITY)]
+
+    cl = PoseidonClient(spec)
+    cl.initialize(PoseidonInitializeParameters(tree_height=h,
+                                               tree_mode=TreeMode.TREE_C))
+    elems = np.stack([int_to_limbs(v, spec.nlimbs) for v in vals]).astype(
+        np.uint32)
+    cl.set_data(elems)
+    cl.start_process()
+    cl.wait_result()
+    layers = cl.result_arrays()
+    assert sum(a.shape[0] for _, a in layers) == num_tree_nodes(h)
+
+    # host oracle
+    lp = generate_params(spec, LEAF_ARITY + 1)
+    np_ = generate_params(spec, 9)
+    leaf_hashes = [
+        poseidon_permutation_ref(lp, [0] + vals[i * 11 : (i + 1) * 11])[1]
+        for i in range(nleaves)
+    ]
+    root = poseidon_permutation_ref(np_, [0] + leaf_hashes)[1]
+    got_leaves = [limbs_to_int(r) for r in layers[0][1]]
+    assert got_leaves == leaf_hashes
+    assert limbs_to_int(layers[1][1][0]) == root
