@@ -163,6 +163,23 @@ class PallasFieldOps:
         out = (v + self._shift_down(g)) & LIMB_MASK
         return out, over
 
+    def _ks_carry1(self, v):
+        """Lean carry for columns already < 2^17 (e.g. the sum of two
+        16-bit-limb values): skips the generic _ks_carry's two value
+        folds — only the 0/1 generate/propagate prefix remains.  Returns
+        (limbs < 2^16, carry_out (..., 1, T))."""
+        K = v.shape[-2]
+        g = v >> LIMB_BITS                      # 0/1
+        p = jnp.where((v & LIMB_MASK) == LIMB_MASK, jnp.uint32(1),
+                      jnp.uint32(0))
+        d = 1
+        while d < K:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d *= 2
+        out = (v + self._shift_down(g)) & LIMB_MASK
+        return out, g[..., K - 1 : K, :]
+
     def _ks_borrow_sub(self, a, b):
         """a - b on (..., L, T) 16-bit limb columns; returns (diff,
         borrow_out).  diff is the 2^(16L)-complement result; borrow_out
@@ -325,8 +342,11 @@ class PallasFieldOps:
 
     # ------------------------------------------------------------ add/sub
     def _add_f(self, a, b):
-        """Field add under the instance's invariant (< 2p or < p)."""
-        limbs, top = self._ks_carry(a + b)
+        """Field add under the instance's invariant (< 2p or < p).
+
+        Inputs hold normalized (< 2^16) limbs, so the sum's columns are
+        < 2^17 and the lean carry applies."""
+        limbs, top = self._ks_carry1(a + b)
         if self.lazy:
             return self._cond_sub_2p(limbs)
         return self._cond_sub_p(limbs, top)
@@ -338,7 +358,7 @@ class PallasFieldOps:
         pcol = self._const_col(
             self._p2_ints if self.lazy else self._p_ints, d.shape[-1]
         )
-        fixed, _ = self._ks_carry(d + pcol)
+        fixed, _ = self._ks_carry1(d + pcol)
         return jnp.where(borrow > 0, fixed, d)
 
     # ------------------------------------------------------------- waves
