@@ -225,6 +225,63 @@ def bench_poseidon(logl: int, iters: int) -> dict:
     }
 
 
+def bench_pipeline(ntt_logn: int, msm_logn: int, iters: int) -> dict:
+    """Config-5 proof-gen pipeline: NTT 2^ntt_logn feeding a BLS12-381
+    MSM 2^msm_logn as scalars, 2-deep across primitives
+    (blaze_tpu/pipeline.py), oracle-checked via the closed-form
+    geometric MSM (delta coefficients -> scalars are W^i)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("pipeline bench needs the TPU blocked NTT path")
+    from blaze_tpu.curves import CURVES, Curve
+    from blaze_tpu.msm import MSMConfig, points_to_resident
+    from blaze_tpu.oracle import tiled_msm_instance
+    from blaze_tpu.pipeline import ProofPipeline, geometric_msm_oracle
+
+    spec = CURVES["bls12_381"]
+    curve = Curve(spec)
+    n_msm = 1 << msm_logn
+    points, _, _, dbg = tiled_msm_instance(spec, 256, seed=123)
+    idx = np.arange(n_msm) % 256
+    pts_res = points_to_resident(curve, jnp.asarray(points[idx]))
+    _sync(pts_res)
+    pipe = ProofPipeline(curve, ntt_logn, msm_logn,
+                         config=MSMConfig(chunk_log2=20))
+    L = spec.fr.nlimbs
+    rows = (1 << ntt_logn) // 128
+
+    import functools
+
+    @jax.jit
+    def make_delta():
+        z = jnp.zeros((rows, L, 128), jnp.uint16)
+        return z.at[0, 0, 1].set(1)
+
+    nb = max(iters, 2) + 1
+    t0 = time.perf_counter()
+    stamps, outs = [], []
+    for out in pipe.run_batches((make_delta() for _ in range(nb)), pts_res):
+        stamps.append(time.perf_counter() - t0)
+        outs.append(out)
+    per_batch = (stamps[-1] - stamps[0]) / (len(stamps) - 1)
+    w = spec.fr.root_of_unity(ntt_logn)
+    expected = geometric_msm_oracle(spec, 256, n_msm, w, dbg["points"])
+    aff = curve.to_affine(outs[-1][None])[0]
+    got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+    if got != expected:
+        raise AssertionError("pipeline result diverges from oracle")
+    return {
+        "metric": f"pipeline_ntt2^{ntt_logn}_msm2^{msm_logn}",
+        "value": round(1.0 / per_batch, 3),
+        "unit": "proofs/sec",
+        "ms": round(per_batch * 1e3, 2),
+        "oracle": "exact",
+    }
+
+
 def _history() -> dict:
     if not os.path.exists(PREV_PATH):
         return {}
@@ -265,8 +322,12 @@ def main():
     ntt_default = "27" if _jax.default_backend() == "tpu" else "20"
     ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", ntt_default))
     pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "15"))
+    pipe_on = os.environ.get(
+        "BLZ_BENCH_PIPELINE", "1" if _jax.default_backend() == "tpu" else "0"
+    ) == "1"
+    default_set = "msm,ntt,poseidon" + (",pipeline" if pipe_on else "")
     only = set(
-        s for s in os.environ.get("BLZ_BENCH_ONLY", "msm,ntt,poseidon").split(",")
+        s for s in os.environ.get("BLZ_BENCH_ONLY", default_set).split(",")
         if s
     )
 
@@ -277,6 +338,7 @@ def main():
         ("msm", lambda: bench_msm(logn, curve_name, iters)),
         ("ntt", lambda: bench_ntt(ntt_logn, iters)),
         ("poseidon", lambda: bench_poseidon(pos_logl, iters)),
+        ("pipeline", lambda: bench_pipeline(ntt_logn, logn, iters)),
     ):
         if name not in only:
             continue

@@ -114,6 +114,7 @@ class MerkleTreeBuilder:
         self.leaf_hasher = Poseidon(self.leaf_params)
         self.node_hasher = Poseidon(self.node_params)
         self.field = self.leaf_hasher.field
+        self._staged_fns: dict = {}
 
     def _fused_lm(self):
         """The lanes-major fused kernel pair, when the platform has it."""
@@ -138,41 +139,54 @@ class MerkleTreeBuilder:
         once — msm/residency.py style — so no device transposes or
         Montgomery passes run here: the conversion is folded into the
         permutation kernel).  Everything stays lanes-major Montgomery
-        until the result is drained.
+        until the result is drained, and the WHOLE tree — leaf sponge
+        plus every node level — is one jitted dispatch (eager per-level
+        ops are dispatch-latency-bound through tunneled transports).
         """
         kerns = self._fused_lm()
         if kerns is None:
             raise RuntimeError("build_staged needs the fused TPU kernels")
-        kleaf, knode = kerns
         A, L, B = leaf_cols_lm.shape
         if A != LEAF_ARITY or B != base_layer_size(height):
             raise ValueError(
                 f"want ({LEAF_ARITY}, L, {base_layer_size(height)}), "
                 f"got {leaf_cols_lm.shape}"
             )
-        # convert_in multiplies the WHOLE state by R^2, so the domain tag
-        # must enter in canonical form (tag 0 is 0 either way)
-        tag_canon = self.field.jit_op("from_mont")(
-            self.leaf_hasher.domain_tag(0)[None]
-        )[0][:, None]
-        state = jnp.concatenate(
-            [jnp.broadcast_to(tag_canon, (1, L, B)),
-             jnp.asarray(leaf_cols_lm)], axis=0
-        )
-        out = kleaf.permute_lm(state, convert_in=True)      # (t, L, B) mont
-        layer = out[1]                                      # (L, B) mont
-        layers = [layer]
-        tag_n = self.node_hasher.domain_tag(0)[:, None]
-        while layer.shape[-1] > 1:
-            Bc = layer.shape[-1] // ARITY
-            grouped = jnp.moveaxis(
-                layer.reshape(L, Bc, ARITY), 2, 0
-            )                                               # (8, L, Bc)
-            state = jnp.concatenate(
-                [jnp.broadcast_to(tag_n, (1, L, Bc)), grouped], axis=0
-            )
-            layer = knode.permute_lm(state)[1]              # (L, Bc) mont
-            layers.append(layer)
+        fn = self._staged_fns.get((height, B))
+        if fn is None:
+            kleaf, knode = kerns
+            # convert_in multiplies the WHOLE state by R^2, so the domain
+            # tag must enter in canonical form (tag 0 is 0 either way)
+            tag_canon = np.asarray(
+                self.field.jit_op("from_mont")(
+                    self.leaf_hasher.domain_tag(0)[None]
+                )
+            )[0][:, None]
+            tag_n = np.asarray(self.node_hasher.domain_tag(0))[:, None]
+
+            def run(cols):
+                state = jnp.concatenate(
+                    [jnp.broadcast_to(jnp.asarray(tag_canon), (1, L, B)),
+                     cols], axis=0
+                )
+                out = kleaf.permute_lm(state, convert_in=True)
+                layer = out[1]                              # (L, B) mont
+                layers = [layer]
+                while layer.shape[-1] > 1:
+                    Bc = layer.shape[-1] // ARITY
+                    grouped = jnp.moveaxis(
+                        layer.reshape(L, Bc, ARITY), 2, 0
+                    )                                       # (8, L, Bc)
+                    state = jnp.concatenate(
+                        [jnp.broadcast_to(jnp.asarray(tag_n), (1, L, Bc)),
+                         grouped], axis=0
+                    )
+                    layer = knode.permute_lm(state)[1]      # (L, Bc) mont
+                    layers.append(layer)
+                return tuple(layers)
+
+            fn = self._staged_fns[(height, B)] = jax.jit(run)
+        layers = list(fn(jnp.asarray(leaf_cols_lm)))
         return TreeResult(layers_lm_mont=layers, field=self.field)
 
     def build(

@@ -178,6 +178,64 @@ for logn in SIZES + ([BIG] if BIG not in SIZES else []):
     print(f"2^{logn} fwd: {best*1e3:.1f} ms = {eps/1e6:.1f} M elems/s",
           flush=True)
 
+# ---- 4. client lifecycle at the big size ------------------------------
+# The reference's 2^27 runs THROUGH set_data/start/wait/result
+# (ntt_api.rs:72-125); this drives NTTClient's blocked residency the same
+# way: delta wire bytes in -> sampled W^(k*t) check on the output bytes,
+# random roundtrip through the inverse client, and kernel-phase
+# throughput recorded next to the plan-level number.
+from blaze_tpu.runtime.clients import NTTClient, NTTInit, NTTInput
+
+nbig = 1 << BIG
+cl = NTTClient(NTTInit(field=SPEC, logn=BIG))
+if cl._blocked:
+    k = 12345 % nbig
+    x16 = np.zeros((nbig, L), dtype=np.uint16)
+    x16[k, 0] = 1                               # canonical delta
+    cl.set_data(NTTInput(data=x16.astype("<u2").tobytes()))
+    t0 = time.perf_counter()
+    cl.start_process()
+    cl.wait_result()
+    client_s = time.perf_counter() - t0
+    out = cl.result()
+    w = SPEC.root_of_unity(BIG)
+    rng = np.random.default_rng(77)
+    ok_cd = True
+    for t in rng.integers(0, nbig, size=16):
+        off = int(t) * SPEC.nbytes
+        got = int.from_bytes(out[off : off + SPEC.nbytes], "little")
+        if got != pow(w, (k * int(t)) % nbig, SPEC.p):
+            ok_cd = False
+            break
+    # roundtrip: random data through forward client then inverse client
+    x16 = rand_mont_u16(nbig, seed=4242)
+    data = x16.astype("<u2").tobytes()
+    cl.set_data(NTTInput(data=data))
+    cl.start_process()
+    cl.wait_result()
+    spec_bytes = cl.result()
+    inv_cl = NTTClient(NTTInit(field=SPEC, logn=BIG), inverse=True)
+    inv_cl.set_data(NTTInput(data=spec_bytes))
+    t0 = time.perf_counter()
+    inv_cl.start_process()
+    inv_cl.wait_result()
+    inv_s = time.perf_counter() - t0
+    ok_crt = inv_cl.result() == data
+    record_check({"kind": "client_delta", "logn": BIG, "ok": bool(ok_cd)})
+    record_check({"kind": "client_roundtrip", "logn": BIG, "ok": bool(ok_crt)})
+    results["throughput"][f"2^{BIG}_client"] = {
+        "elems_per_s": round(nbig / client_s, 1),
+        "fwd_ms": round(client_s * 1e3, 2),
+        "inv_ms": round(inv_s * 1e3, 2),
+        "note": "start_process->wait_result through NTTClient (blocked)",
+    }
+    save()
+    fails += (not ok_cd) + (not ok_crt)
+    print(
+        f"2^{BIG} client: delta={ok_cd} roundtrip={ok_crt} "
+        f"fwd {client_s*1e3:.1f} ms", flush=True,
+    )
+
 results["ok"] = fails == 0 and all(
     c.get("ok", c.get("fwd", True) and c.get("inv", True))
     for c in results["checks"]

@@ -82,8 +82,16 @@ def main() -> int:
     )
 
     dmsm = DistributedMSM(curve, mesh, axis="dp")
+    # AOT-compile FIRST, then rendezvous: gloo's collective-context
+    # handshake times out after 30 s, and on a 1-vCPU box the other
+    # process can easily still be compiling when this one executes.
     with portable_only():
-        out = dmsm._run(pts, sc, 4, 8, False)
+        run2 = jax.jit(lambda p, s: dmsm._run(p, s, 4, 8, False))
+        compiled = run2.lower(pts, sc).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("blz_compiled", 900_000)
+    out = compiled(pts, sc)
     jax.block_until_ready(out)
 
     # oracle check (host bigint) in every process

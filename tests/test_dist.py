@@ -19,6 +19,8 @@ import pytest
 
 def test_distributed_suite_subprocess():
     cases = os.path.join(os.path.dirname(__file__), "dist_cases.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU child: no TPU plugin
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", cases, "-q", "--no-header",
          "-p", "no:cacheprovider", "-o", "addopts="],
@@ -26,6 +28,7 @@ def test_distributed_suite_subprocess():
         text=True,
         timeout=3000,
         cwd=os.path.dirname(os.path.dirname(__file__)),
+        env=env,
     )
     if proc.returncode != 0:
         print(proc.stdout[-4000:])
@@ -45,7 +48,8 @@ def test_multihost_two_process_msm():
         port = s.getsockname()[1]
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "PALLAS_AXON_POOL_IPS")}
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port)],

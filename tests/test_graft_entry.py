@@ -18,6 +18,10 @@ import sys
 def test_dryrun_multichip_8():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the child pins itself (conftest-free)
+    # a CPU-only child must not register the axon TPU plugin at all: with
+    # the tunnel relay down, plugin discovery hangs/errors before
+    # JAX_PLATFORMS=cpu is even consulted
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
