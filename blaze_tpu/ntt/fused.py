@@ -258,18 +258,17 @@ class FusedNTT:
         )
 
     def to_blocked(self, x16):
-        """Host numpy (K, L) u16 -> (K/block, L, block) blocked."""
-        K, L = np.shape(x16)
-        T = self.block
-        return np.ascontiguousarray(
-            np.asarray(x16, np.uint16).reshape(K // T, T, L).swapaxes(1, 2)
-        )
+        """Host numpy (K, L) u16 -> (K/block, L, block) blocked (native
+        C++ fast path when built — a 4 GiB transpose at 2^27)."""
+        from ..native import codec as _native
+
+        return _native.to_blocked(np.asarray(x16, np.uint16), self.block)
 
     def from_blocked(self, xb):
         """Host numpy (K/block, L, block) -> (K, L) u16."""
-        xb = np.asarray(xb)
-        Kb, L, T = xb.shape
-        return np.ascontiguousarray(xb.swapaxes(1, 2)).reshape(Kb * T, L)
+        from ..native import codec as _native
+
+        return _native.from_blocked(np.asarray(xb), self.block)
 
     def _run_blocked(self, xb, inverse: bool):
         """(K/block, L, block) u16 natural order -> same, transformed."""

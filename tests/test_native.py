@@ -53,3 +53,18 @@ def test_transpose_roundtrip():
         assert transpose(data, 8, 16, 32) == t
     finally:
         codec_mod._LIB = saved
+
+
+def test_blocked_roundtrip_matches_numpy():
+    """Native blocked split/merge == the pure-numpy layout transform."""
+    import numpy as np
+
+    from blaze_tpu.native import codec
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 16, size=(1024, 16), dtype=np.uint16)
+    xb = codec.to_blocked(x, 128)
+    want = np.ascontiguousarray(x.reshape(8, 128, 16).swapaxes(1, 2))
+    assert np.array_equal(xb, want)
+    back = codec.from_blocked(xb, 128)
+    assert np.array_equal(back, x)
