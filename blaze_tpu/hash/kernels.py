@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.kernel_ops import PallasFieldOps
-from ..fields.spec import LIMB_BITS, LIMB_MASK
 from .params import PoseidonParams
 
 __all__ = ["PoseidonKernels"]

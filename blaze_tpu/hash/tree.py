@@ -16,7 +16,6 @@ never validates them (SURVEY §4.3).
 """
 from __future__ import annotations
 
-import dataclasses
 import enum
 
 import jax

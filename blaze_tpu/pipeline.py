@@ -15,8 +15,6 @@ DistributedMSM (dp-sharded scan + all_gather reduce) over one mesh.
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,7 +109,6 @@ class ProofPipeline:
             raise ValueError("no mesh — use run_batches")
         yk = self.dntt.ntt(coeffs)                      # (n1, n2, L) k-matrix
         ynat = self.dntt.spectral_to_natural(yk)        # (2^n, L)
-        scal = self.fr  # noqa: F841  (doc: scalars are fr elements)
         scalars = jnp.asarray(ynat[: 1 << self.msm_logn])
         # spectral values are Montgomery-form here (dist path keeps mont);
         # scalars must be canonical integers: convert via the field

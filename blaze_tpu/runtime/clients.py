@@ -36,8 +36,13 @@ from ..curves import (
 )
 from ..fields.codec import bytes_to_limbs, limbs_to_bytes
 from ..fields.spec import FieldSpec
-from ..hash.params import PoseidonParams, params_from_csv
-from ..hash.tree import MerkleTreeBuilder, TreeMode, base_layer_size, num_tree_nodes, LEAF_ARITY
+from ..hash.params import params_from_csv
+from ..hash.tree import (
+    LEAF_ARITY,
+    MerkleTreeBuilder,
+    TreeMode,
+    base_layer_size,
+)
 from ..msm import (
     MSM,
     MSMConfig,
@@ -51,7 +56,6 @@ from .device import DeviceContext
 from .primitive import DriverPrimitive, ImageParams, timed
 from ..utils.errors import (
     BlazeError,
-    DataError,
     DeviceError,
     InvalidPrimitiveParam,
     NotReady,
