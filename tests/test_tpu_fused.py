@@ -325,3 +325,55 @@ def test_poseidon_client_tree_vs_host_oracle():
     got_leaves = [limbs_to_int(r) for r in layers[0][1]]
     assert got_leaves == leaf_hashes
     assert limbs_to_int(layers[1][1][0]) == root
+
+
+@pytest.mark.parametrize("mode", ["dma", "hbm_reuse"])
+def test_msm_client_lifecycle_resident(mode):
+    """MSMClient on the TPU fused path: wire bytes through the full
+    lifecycle land in the lanes-major residency (msm/residency.py), and
+    the scalars-only HBM-reuse mode (msm_api.rs:144-153) reuses cached
+    points — both oracle-exact."""
+    from blaze_tpu.oracle import tiled_msm_instance
+    from blaze_tpu.runtime.clients import (
+        MSMClient,
+        MSMInit,
+        MSMInput,
+        MSMParams,
+    )
+
+    curve = _curve("bls12_381")
+    spec = curve.spec
+    n = 256
+    points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=97)
+    fb = spec.fq.nbytes
+    pts_bytes = b"".join(
+        int(sum(int(v) << (16 * i) for i, v in enumerate(p[0]))).to_bytes(fb, "little")
+        + int(sum(int(v) << (16 * i) for i, v in enumerate(p[1]))).to_bytes(fb, "little")
+        for p in np.asarray(points)
+    )
+    sc_bytes = b"".join(
+        int(sum(int(v) << (16 * i) for i, v in enumerate(s))).to_bytes(
+            spec.fr.nbytes, "little")
+        for s in np.asarray(scalars)
+    )
+    cl = MSMClient(MSMInit(curve="bls12_381"))
+    assert cl._resident(), "fused residency should engage on TPU"
+    if mode == "dma":
+        cl.initialize(MSMParams(nof_elements=n))
+        cl.set_data(MSMInput(scalars=sc_bytes, points=pts_bytes))
+    else:
+        cl.initialize(MSMParams(nof_elements=n, hbm_point_addr="bank0"))
+        cl.set_data(MSMInput(scalars=sc_bytes, points=pts_bytes,
+                             params=MSMParams(n, "bank0")))
+        # scalars-only reuse round (mode 3)
+        cl.set_data(MSMInput(scalars=sc_bytes,
+                             params=MSMParams(n, "bank0")))
+    cl.start_process()
+    cl.wait_result()
+    res = cl.result()
+    zb = int.from_bytes(res.result[:fb], "little")
+    yb = int.from_bytes(res.result[fb : 2 * fb], "little")
+    xb = int.from_bytes(res.result[2 * fb : 3 * fb], "little")
+    p = spec.fq.p
+    zi = pow(zb, -1, p)
+    assert (xb * zi % p, yb * zi % p) == exp_aff
