@@ -474,6 +474,21 @@ class NTTClient(DriverPrimitive):
         canon = self.plan.field.from_mont(r)
         return limbs_to_bytes(np.asarray(canon), self.spec)
 
+    def get_api(self) -> dict:
+        """Register-dump analog (the NTT HLS control/status surface,
+        ntt_hw_code.rs:6-83)."""
+        return {
+            "buffers": {
+                i: ("busy" if self._results[i] is not None
+                    else "staged" if self._slots[i] is not None else "empty")
+                for i in range(self.NOF_BUFFERS)
+            },
+            "blocked_residency": self._blocked,
+            "pending_tasks": self.pending_tasks,
+            "timings": dataclasses.asdict(self._timings),
+            "health": dataclasses.asdict(self.ctx.health()),
+        }
+
 
 # ========================================================== Poseidon client
 @dataclasses.dataclass
@@ -680,3 +695,26 @@ class PoseidonClient(DriverPrimitive):
     @property
     def root(self):
         return None if self._tree is None else self._tree.root
+
+    # ---------------------------------------------- status getters (parity)
+    def get_num_of_pending_results(self) -> int:
+        """Undrained node count (poseidon_api.rs:156 analog)."""
+        return 0 if self._tree is None else len(self._tree)
+
+    def get_last_node_id_in_ring(self) -> int:
+        """Ring last-id analog (poseidon_api.rs:149-203): nodes produced
+        by the engine so far (all of them — building is level-synchronous
+        behind async dispatch)."""
+        return self.get_num_of_pending_results()
+
+    def get_api(self) -> dict:
+        """Register-dump analog (log_api_values,
+        poseidon_api.rs:245-253 + hash_hw_code.rs:7-26)."""
+        return {
+            "elements_staged": self._count,
+            "pending_results": self.get_num_of_pending_results(),
+            "device_residency": self._staged is not None,
+            "pending_tasks": self.pending_tasks,
+            "timings": dataclasses.asdict(self._timings),
+            "health": dataclasses.asdict(self.ctx.health()),
+        }

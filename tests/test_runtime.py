@@ -203,3 +203,20 @@ def test_device_context_health():
     assert h.platform in ("cpu", "tpu", "axon")
     assert h.ok()
     assert ctx.num_devices >= 1
+
+
+def test_client_api_dumps():
+    """Every client exposes the register-dump analog (get_api) with the
+    timing + health surface (msm_api.rs:324-330, poseidon_api.rs:245-253,
+    ntt_hw_code.rs status regs)."""
+    from blaze_tpu.runtime.clients import (
+        MSMClient, MSMInit, NTTClient, NTTInit, PoseidonClient,
+    )
+
+    m = MSMClient(MSMInit(curve="bn254")).get_api()
+    assert {"pending_tasks", "timings", "health"} <= set(m)
+    n = NTTClient(NTTInit(field="bn254_fr", logn=4)).get_api()
+    assert n["buffers"] == {0: "empty", 1: "empty"}
+    p = PoseidonClient()
+    d = p.get_api()
+    assert d["elements_staged"] == 0 and d["pending_results"] == 0
