@@ -263,20 +263,40 @@ class PallasFieldOps:
             # conditional subtraction.
             limbs, _ = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
             return limbs
-        # canonical: chained cond-subs with explicit top tracking (the
-        # value may exceed 2^(16L), so "ge" alone cannot drop the top).
+        # canonical: explicit top tracking (the value may exceed 2^(16L),
+        # so "ge" alone cannot drop the top).
         limbs, top = self._ks_carry(u[..., L : 2 * L, :], carry_in=c1)
         top = top + u[..., 2 * L : 2 * L + 1, :]
         if subs == 1:
             return self._cond_sub_p(limbs, top)
-        pcol = self._const_col(self._p_ints, limbs.shape[-1])
-        for _ in range(subs):
-            sub, borrow = self._ks_borrow_sub(limbs, pcol)
-            ge = (top > 0) | (borrow == 0)
-            limbs = jnp.where(ge, sub, limbs)
-            top = top - jnp.where(ge & (borrow > 0), jnp.uint32(1),
-                                  jnp.uint32(0))
-        return limbs
+        # Multi-p reduction (summed-product inputs, e.g. the fused MDS
+        # row: v < (subs+1)*p): estimate the quotient k = floor(v/p) from
+        # the top 32 bits and subtract k*p ONCE instead of running `subs`
+        # chained conditional borrow-subtract networks.  Safety: with
+        # thresholds c_j = floor(j*p / 2^(16(L-1))), t_est > c_j implies
+        # v >= (c_j+1)*2^(16(L-1)) > j*p, so the subtraction never
+        # underflows, and the estimate trails floor(v/p) by at most 1 —
+        # the final _cond_sub_p restores < p.
+        T = limbs.shape[-1]
+        L1 = L - 1
+        p_int = sum(int(v) << (16 * i) for i, v in enumerate(self._p_ints))
+        t_est = (top << 16) + limbs[..., L1:L, :]          # (..., 1, T)
+        k = jnp.zeros_like(t_est)
+        for j in range(1, subs + 1):
+            cj = jnp.uint32((j * p_int) >> (16 * L1))
+            k = k + jnp.where(t_est > cj, jnp.uint32(1), jnp.uint32(0))
+        kp = jnp.zeros_like(limbs)
+        ktop = jnp.zeros_like(t_est)
+        for j in range(1, subs + 1):
+            mj = int_to_limbs(j * p_int, L + 1)
+            mcol = self._const_col([int(v) for v in mj[:L]], T)
+            sel = k == j
+            kp = kp + jnp.where(sel, mcol, jnp.uint32(0))
+            ktop = ktop + jnp.where(sel, jnp.uint32(int(mj[L])),
+                                    jnp.uint32(0))
+        sub, borrow = self._ks_borrow_sub(limbs, kp)
+        top = top - ktop - borrow
+        return self._cond_sub_p(sub, top)
 
     @staticmethod
     def _const_dot(mat, x, prefer=jnp.float32):
