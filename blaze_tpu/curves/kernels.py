@@ -49,18 +49,21 @@ class ECKernels(PallasFieldOps):
     _CACHE: dict = {}
 
     @classmethod
-    def for_curve(cls, spec: CurveSpec, tile: int = 512) -> "ECKernels":
-        key = (spec.name, tile)
+    def for_curve(cls, spec: CurveSpec, tile: int = 512,
+                  interpret: bool = False) -> "ECKernels":
+        key = (spec.name, tile, interpret)
         inst = cls._CACHE.get(key)
         if inst is None:
-            inst = cls(spec, tile)
+            inst = cls(spec, tile, interpret)
             cls._CACHE[key] = inst
         return inst
 
-    def __init__(self, spec: CurveSpec, tile: int = 512):
+    def __init__(self, spec: CurveSpec, tile: int = 512,
+                 interpret: bool = False):
         super().__init__(spec.fq, lazy=True)
         self.spec = spec
         self.tile = tile
+        self.interpret = interpret
         fq = spec.fq
         b3 = (3 * spec.b) % fq.p
         b3_mont = (b3 * fq.r) % fq.p
@@ -255,6 +258,7 @@ class ECKernels(PallasFieldOps):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=self.interpret,
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -338,6 +342,7 @@ class ECKernels(PallasFieldOps):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=self.interpret,
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -438,6 +443,7 @@ class ECKernels(PallasFieldOps):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=self.interpret,
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -501,6 +507,7 @@ class ECKernels(PallasFieldOps):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=self.interpret,
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
@@ -556,6 +563,7 @@ class ECKernels(PallasFieldOps):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=self.interpret,
         )
         fn = jax.jit(call)
         self._jit_cache[key] = fn
