@@ -125,6 +125,15 @@ class FusedNTT:
         # Depth d splits K_d = prod(parts[d:]) as A_d * C_d.  n^-1 is
         # folded into the depth-0 inverse T1 (every element passes the
         # depth-0 twiddle exactly once).
+        #
+        # Tables are PRE-EXPANDED to (A, L, J) / (A, L, S) with
+        # J * S = C: entry (v, j = jo*S + jl)'s twiddle W^(j*v) is
+        # tab1[v, :, jo] * tab2[v, :, jl], so the hot-path kernel
+        # (kernels.twiddle_mul) reads both factors by pure BLOCK indexing
+        # — the former per-lane index gathers moved ~2 buffer-sizes of
+        # amplified traffic per level and dominated 2^26/2^27.  The
+        # tables stay small (8 MiB each at 2^27 depth 0); the one-time
+        # expansion gather here is off the hot path.
         self._tabs = {}
         for d in range(len(self.parts) - 1):
             logK = sum(self.parts[d:])
@@ -132,8 +141,12 @@ class FusedNTT:
             logC = logK - a
             logS = (logC + 1) // 2
             A, C, S = 1 << a, 1 << logC, 1 << logS
-            n1 = (C // S - 1) * (A - 1) + 1
+            J = C >> logS
+            n1 = (J - 1) * (A - 1) + 1
             n2 = (S - 1) * (A - 1) + 1
+            vgrid = np.arange(A, dtype=np.int64)[:, None]
+            idx1 = jnp.asarray(vgrid * np.arange(J, dtype=np.int64)[None])
+            idx2 = jnp.asarray(vgrid * np.arange(S, dtype=np.int64)[None])
             for inv in (False, True):
                 w = spec.root_of_unity(logK)
                 if inv:
@@ -142,30 +155,36 @@ class FusedNTT:
                 t2 = f.powers(mont(w), n2)
                 if inv and d == 0:
                     t1 = f.mul(t1, self._ninv_mont)
+                tab1 = jnp.take(t1, idx1, axis=0)              # (A, J, L)
+                tab2 = jnp.take(t2, idx2, axis=0)
                 self._tabs[(d, inv)] = (
-                    jnp.moveaxis(t1, 0, 1).astype(jnp.uint16),  # (L, n1)
-                    jnp.moveaxis(t2, 0, 1).astype(jnp.uint16),
-                    logS,
+                    jnp.moveaxis(tab1, -1, 1).astype(jnp.uint16),  # (A,L,J)
+                    jnp.moveaxis(tab2, -1, 1).astype(jnp.uint16),
                 )
 
     # ------------------------------------------------------------ twiddle
+    # Cells narrower than one 128-lane tile fall back to the gathered
+    # mul_lm path (only small plans hit it); tests may lower this to
+    # force the kernel path under the interpreter.
+    _TWMUL_MIN_LANES = 128
+
     def _apply_twiddle(self, y, depth: int, B: int, inverse: bool):
         """y: (A, L, C*B) u16, lane = j*B + b.  Multiply entry (v, j) by
-        W^(j*v), slab by slab along the lane axis."""
-        T1, T2, logS = self._tabs[(depth, inverse)]
+        W^(j*v) = tab1[v, j//S] * tab2[v, j%S]."""
+        tab1, tab2 = self._tabs[(depth, inverse)]
         A, L, lanes = y.shape
-        S_l = min(lanes, self._slab)
-        v = jax.lax.broadcasted_iota(jnp.int32, (A, S_l), 0)
-        outs = []
-        for lo in range(0, lanes, S_l):
-            lane = jax.lax.broadcasted_iota(jnp.int32, (A, S_l), 1) + lo
-            j = lane // B if B > 1 else lane
-            jh = j >> logS
-            jl = j & ((1 << logS) - 1)
-            tw1 = jnp.moveaxis(jnp.take(T1, jh * v, axis=1), 0, 1)
-            tw2 = jnp.moveaxis(jnp.take(T2, jl * v, axis=1), 0, 1)
-            outs.append(self.kern.mul_lm(y[:, :, lo : lo + S_l], tw1, tw2))
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+        J, S = tab1.shape[-1], tab2.shape[-1]
+        cell = S if B == 1 else B
+        if cell >= self._TWMUL_MIN_LANES:
+            return self.kern.twiddle_mul(y, tab1, tab2, B)
+        # small-plan fallback: expand the twiddles lane-wise and use the
+        # generic triple-product kernel
+        lane = jax.lax.broadcasted_iota(jnp.int32, (A, L, lanes), 2)
+        j = lane // B if B > 1 else lane
+        jo, jl = j // S, j % S
+        tw1 = jnp.take_along_axis(tab1, jo, axis=2)
+        tw2 = jnp.take_along_axis(tab2, jl, axis=2)
+        return self.kern.mul_lm(y, tw1, tw2)
 
     # ---------------------------------------------------------- recursion
     def _base(self, x, a: int, inverse: bool):

@@ -180,6 +180,86 @@ class NTTKernels(PallasFieldOps):
         self._jit_cache[key] = fn
         return fn
 
+    # ------------------------------------------- split-table twiddle mul
+    def _twmul_fn(self, A, J, S, B, BA, dtypes):
+        key = ("twmul", A, J, S, B, BA, dtypes)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = self.L
+
+        def kernel(*args):
+            fc = self.read_consts(args)
+            y_ref, t1_ref, t2_ref, o_ref = args[4:]
+            y = y_ref[:].astype(jnp.uint32)
+            t1 = t1_ref[:].astype(jnp.uint32)     # (BA, L, 1) or (BA, L, S)
+            t2 = t2_ref[:].astype(jnp.uint32)
+            acc = self._mont_mul(y, t1, fc)
+            acc = self._mont_mul(acc, t2, fc)
+            o_ref[:] = acc.astype(jnp.uint16)
+
+        if B == 1:
+            # grid (A/BA, J); cell (BA, L, S): tw1 is a per-cell column,
+            # tw2 the S-lane block shared by every j
+            grid = (A // BA, J)
+            y_spec = pl.BlockSpec((BA, L, S), lambda i, j: (i, 0, j),
+                                  memory_space=pltpu.VMEM)
+            t1_spec = pl.BlockSpec((BA, L, 1), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM)
+            t2_spec = pl.BlockSpec((BA, L, S), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            # grid (A/BA, J, S); cell (BA, L, B): both twiddles are
+            # per-cell columns (broadcast over the B batch lanes)
+            grid = (A // BA, J, S)
+            y_spec = pl.BlockSpec(
+                (BA, L, B), lambda i, jo, s: (i, 0, jo * S + s),
+                memory_space=pltpu.VMEM)
+            t1_spec = pl.BlockSpec((BA, L, 1), lambda i, jo, s: (i, 0, jo),
+                                   memory_space=pltpu.VMEM)
+            t2_spec = pl.BlockSpec((BA, L, 1), lambda i, jo, s: (i, 0, s),
+                                   memory_space=pltpu.VMEM)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=self.field_const_specs() + [y_spec, t1_spec, t2_spec],
+            out_specs=y_spec,
+            out_shape=jax.ShapeDtypeStruct((A, L, J * S * B), jnp.uint16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=self.interpret,
+        )
+        fn = jax.jit(call)
+        self._jit_cache[key] = fn
+        return fn
+
+    def twiddle_mul(self, y, t1, t2, B: int):
+        """Inter-level twiddle application WITHOUT per-lane gathers.
+
+        y: (A, L, J*S*B) u16/u32, lane = (jo*S + jl)*B + b; the twiddle
+        of entry (v, j) factors as T1[v, jo] * T2[v, jl] (fused.py split
+        tables, precomputed per depth as SMALL (A, L, J) / (A, L, S)
+        arrays).  The kernel reads both factors by pure block indexing —
+        replacing the former ~2-passes-of-the-buffer gather traffic that
+        dominated 2^26/2^27 (the within-card bank-shuffle analog,
+        ntt_data.rs:80-156).
+        """
+        A, L, lanes = y.shape
+        J, S = t1.shape[-1], t2.shape[-1]
+        assert lanes == J * S * B, (y.shape, J, S, B)
+        BA = A if A <= 32 else 32
+        while A % BA:
+            BA -= 1
+        dts = (str(y.dtype), str(t1.dtype), str(t2.dtype))
+        return self._twmul_fn(A, J, S, B, BA, dts)(
+            *self._consts(), y, t1, t2
+        )
+
     def mul_lm(self, x, y, z=None):
         """Elementwise Montgomery product of lanes-major batches.
 

@@ -93,3 +93,27 @@ def test_blocked_layout_roundtrip_and_match():
         np.asarray(fused.intt16b(fused.ntt16b(jnp.asarray(xb))))
     )
     assert (rt == x).all()
+
+
+def test_twiddle_mul_kernel_path_matches_portable():
+    """Force the block-indexed twiddle kernel (no gathers) under the
+    interpreter at small sizes covering BOTH branches: B == 1 (depth-0
+    S-cells) and B > 1 (deeper levels), vs the portable plan."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.ntt import FusedNTT, NTTPlan
+
+    spec = FIELDS["bls12_381_fr"]
+    logn = 9
+    fused = FusedNTT(spec, logn, klog=3, interpret=True)  # parts [3,3,3]
+    fused._TWMUL_MIN_LANES = 1        # always take the kernel path
+    plan = NTTPlan(spec, logn)
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 14, size=(1 << logn, spec.nlimbs),
+                     dtype=np.uint16).astype(np.uint32)
+    xd = jnp.asarray(x)
+    assert np.array_equal(np.asarray(fused.ntt(xd)), np.asarray(plan.ntt(xd)))
+    assert np.array_equal(np.asarray(fused.intt(xd)),
+                          np.asarray(plan.intt(xd)))
