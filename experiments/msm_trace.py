@@ -69,3 +69,18 @@ tot = sum(v for _, v in rows)
 print(f"total traced op-us: {tot:.0f}")
 for (tname, name), us in rows[:40]:
     print(f"{us/1e3:9.2f} ms  {us/tot*100:5.1f}%  [{tname}] {name[:110]}")
+
+# persist the per-op breakdown as a committed artifact (the VERDICT ask:
+# a captured trace explaining where device time goes)
+art = {
+    "logn": logn,
+    "total_op_us": round(tot, 1),
+    "top_ops": [
+        {"thread": tname, "op": name[:160], "ms": round(us / 1e3, 3),
+         "pct": round(us / tot * 100, 2)}
+        for (tname, name), us in rows[:40]
+    ],
+}
+with open("/root/repo/TRACE_MSM.json", "w") as f:
+    json.dump(art, f, indent=1)
+print("wrote TRACE_MSM.json")

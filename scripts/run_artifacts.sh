@@ -43,6 +43,9 @@ else
     python experiments/pipeline_check.py || log "pipeline FAILED"
 fi
 
+log "profiler trace -> TRACE_MSM.json (per-op device times)"
+timeout 2400 python experiments/msm_trace.py 20 || log "trace FAILED"
+
 log "headline bench (all metrics)"
 timeout 7200 python bench.py || log "bench FAILED"
 log "done"
