@@ -73,6 +73,7 @@ for (tname, name), us in rows[:40]:
 # persist the per-op breakdown as a committed artifact (the VERDICT ask:
 # a captured trace explaining where device time goes)
 art = {
+    "platform": jax.default_backend(),
     "logn": logn,
     "total_op_us": round(tot, 1),
     "top_ops": [
