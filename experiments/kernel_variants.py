@@ -1,3 +1,6 @@
+# SUPERSEDED: written against the round-3 field layer; the round-4 const
+# plumbing changed _mont_mul's signature (fc tuple).  Kept as the record
+# of earlier probes — use experiments/redc_probe.py / mul_bench.py now.
 """Isolate fused-EC-kernel cost: muls-only vs chained vs glue-only vs full."""
 import sys
 import time

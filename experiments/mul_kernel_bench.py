@@ -1,3 +1,6 @@
+# SUPERSEDED: written against the round-3 field layer; the round-4 const
+# plumbing changed _mont_mul's signature (fc tuple).  Kept as the record
+# of earlier probes — use experiments/redc_probe.py / mul_bench.py now.
 """In-kernel field-op THROUGHPUT costs on TPU, by marginal slope.
 
 The first version chained R dependent ops over 8K lanes — latency-bound:

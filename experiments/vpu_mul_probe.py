@@ -1,3 +1,6 @@
+# SUPERSEDED: written against the round-3 field layer; the round-4 const
+# plumbing changed _mont_mul's signature (fc tuple).  Kept as the record
+# of earlier probes — use experiments/redc_probe.py / mul_bench.py now.
 """Measure in-kernel per-op cost of Montgomery-mul building blocks.
 
 Chains M dependent ops inside one pallas kernel (VMEM-resident); the
