@@ -38,7 +38,18 @@ ITERS = int(os.environ.get("BLZ_MSM_ITERS", "2"))
 CURVE = os.environ.get("BLZ_MSM_CURVE", "bls12_381")
 
 ART = "/root/repo/MSM_TPU.json"
-results = {"curve": CURVE, "runs": {}}
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+results = {"curve": CURVE, "git_rev": _git_rev(), "runs": {}}
 if os.path.exists(ART):
     try:
         old = json.load(open(ART))

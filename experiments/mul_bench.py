@@ -35,7 +35,19 @@ for t in TILES:
     rows[t] = mps
 
 best = max(rows.values()) if rows else 0.0
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
 rec = {
+    "git_rev": _git_rev(),
     "field": "bls12_381_fq (L=24)",
     "kernel": "fused VPU conv + int8 K-trimmed MXU REDC (fields/kernel_ops.py)",
     "muls_per_sec_by_tile": {str(t): round(v * 1e6, 0) for t, v in rows.items()},

@@ -44,7 +44,18 @@ BIG = int(os.environ.get("BLZ_NTT_BIG", "24"))
 ITERS = int(os.environ.get("BLZ_NTT_ITERS", "3"))
 
 ART = "/root/repo/NTT_TPU.json"
-results = {"field": SPEC.name, "checks": [], "throughput": {}}
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+results = {"field": SPEC.name, "git_rev": _git_rev(), "checks": [], "throughput": {}}
 if os.environ.get("BLZ_NTT_MERGE", "1") == "1" and os.path.exists(ART):
     try:
         old = json.load(open(ART))

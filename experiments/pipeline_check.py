@@ -99,7 +99,19 @@ for i, o in enumerate(outs):
 if ok:
     print(f"all {len(outs)} batch results oracle-exact", flush=True)
 
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
 rec = {
+    "git_rev": _git_rev(),
     "ntt_logn": NTT_LOGN,
     "msm_logn": MSM_LOGN,
     "batches": BATCHES,
