@@ -66,6 +66,7 @@ class MSMConfig:
     scan_lanes: int = 0            # 0 = auto (~sqrt of padded chunk)
     group_windows: int = 6         # windows co-scanned per pass (memory bound)
     fused: str = "auto"            # fused Pallas EC kernels: auto/on/off
+    interpret: bool = False        # run the Pallas kernels interpreted (CPU tests)
     # lanes per Pallas grid block (fused path): 1024 measured best — the
     # standalone mul keeps gaining to 2048, but the scan kernel's bigger
     # working set regresses past 1024 (445 -> 520 ms per 2^20 chunk)
@@ -444,7 +445,8 @@ class MSM:
         from ..curves.kernels import ECKernels
 
         cv = self.curve
-        kern = ECKernels.for_curve(cv.spec, tile=self.config.kernel_tile)
+        kern = ECKernels.for_curve(cv.spec, tile=self.config.kernel_tile,
+                                   interpret=self.config.interpret)
         L = cv.nlimbs
         lanes_major = pts.ndim == 2
         N = pts.shape[1] if lanes_major else pts.shape[0]
@@ -676,7 +678,8 @@ class MSM:
         from ..curves.kernels import ECKernels
 
         kern = ECKernels.for_curve(self.curve.spec,
-                                   tile=self.config.kernel_tile)
+                                   tile=self.config.kernel_tile,
+                                   interpret=self.config.interpret)
         L = self.curve.nlimbs
         nwin = wsums.shape[0]
         if nwin == 1:
