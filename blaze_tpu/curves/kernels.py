@@ -191,8 +191,8 @@ class ECKernels(PallasFieldOps):
         # wrapper makes compilation a per-shape one-time cost.
         return {}
 
-    def _scan_fn(self, C: int, Bp: int, packed: bool):
-        key = ("scan", C, Bp, packed)
+    def _scan_fn(self, C: int, Bp: int, packed: bool, signed: bool):
+        key = ("scan", C, Bp, packed, signed)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -217,12 +217,20 @@ class ECKernels(PallasFieldOps):
                 # xy-packed row: u32 limb r = X_r | (Y_r << 16) — unpack is
                 # two mask ops, zero sublane shuffles
                 row = row_ref[0]
-                X2 = row & jnp.uint32(LIMB_MASK)
-                Y2 = row >> LIMB_BITS
+                X2 = row[:L] & jnp.uint32(LIMB_MASK)
+                Y2 = row[:L] >> LIMB_BITS
             else:
                 row = row_ref[0].astype(jnp.uint32)
                 X2 = row[:L]
-                Y2 = row[L:]
+                Y2 = row[L : 2 * L]
+            if signed:
+                # balanced-digit mode: the trailing row carries the digit
+                # sign; negate Y (2p - Y, valid in the lazy < 2p domain)
+                sgn = row[-1:]
+                negY = self._sub_f(
+                    self._const_col(self._p2_ints, Y2.shape[-1]), Y2
+                )
+                Y2 = jnp.where(sgn > 0, negY, Y2)
             X3, Y3, Z3 = self._add_mixed_body(
                 cur[:L], cur[L : 2 * L], cur[2 * L :],
                 X2, Y2, fc, b3c,
@@ -235,7 +243,7 @@ class ECKernels(PallasFieldOps):
             def _fin():
                 tot_ref[:] = nxt
 
-        in_rows = L if packed else 2 * L
+        in_rows = (L if packed else 2 * L) + (1 if signed else 0)
         in_dtype = jnp.uint32 if packed else jnp.uint16
         call = pl.pallas_call(
             kernel,
@@ -273,12 +281,16 @@ class ECKernels(PallasFieldOps):
         uint32 final carries.
 
         One pallas_call: grid (B/tile, C); the per-lane running sum lives
-        in VMEM scratch across the C inner grid steps (revisited blocks)."""
+        in VMEM scratch across the C inner grid steps (revisited blocks).
+
+        A trailing extra row marks balanced-digit mode: it carries the
+        per-point digit sign and the kernel negates Y accordingly."""
         C, nrows, B = rows.shape
         L = self.L
         T = self.tile
-        packed = nrows == L
-        assert packed or nrows == 2 * L
+        packed = nrows in (L, L + 1)
+        signed = nrows in (L + 1, 2 * L + 1)
+        assert nrows in (L, L + 1, 2 * L, 2 * L + 1), nrows
         npad = -B % T
         if npad:
             rows = jnp.pad(rows, ((0, 0), (0, 0), (0, npad)))
@@ -286,7 +298,7 @@ class ECKernels(PallasFieldOps):
         rows = rows.astype(jnp.uint32 if packed else jnp.uint16)
 
         consts = self._ec_const_inputs()
-        emitted, tot = self._scan_fn(C, Bp, packed)(*consts, rows)
+        emitted, tot = self._scan_fn(C, Bp, packed, signed)(*consts, rows)
         if npad:
             emitted = emitted[..., :B]
             tot = tot[..., :B]

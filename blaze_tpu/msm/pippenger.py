@@ -67,6 +67,10 @@ class MSMConfig:
     group_windows: int = 6         # windows co-scanned per pass (memory bound)
     fused: str = "auto"            # fused Pallas EC kernels: auto/on/off
     interpret: bool = False        # run the Pallas kernels interpreted (CPU tests)
+    # Balanced (signed) digits on the fused path: buckets halve to
+    # 2^(c-1)+1 (the Abel tail + boundary gathers halve with them) at the
+    # cost of an in-kernel conditional Y negation per scanned point.
+    signed_digits: bool = False
     # lanes per Pallas grid block (fused path): 1024 measured best — the
     # standalone mul keeps gaining to 2048, but the scan kernel's bigger
     # working set regresses past 1024 (445 -> 520 ms per 2^20 chunk)
@@ -137,6 +141,32 @@ class MSM:
                 d = d | (padded[limb + 1] << (LIMB_BITS - off))
             outs.append(d & mask)
         return jnp.stack(outs, axis=0)
+
+    @staticmethod
+    def _signed_recode(digits, c: int):
+        """Balanced-digit recode of (G, N) c-bit digits: returns (mag,
+        sign) with mag in [0, 2^(c-1)] and
+        sum_w (-1)^sign_w * mag_w * 2^(c*w) == scalar.  Digits >= 2^(c-1)
+        become 2^c - d with a +1 carry into the next window; the TOP
+        window stays unsigned (the caller guarantees its digit + carry
+        <= 2^(c-1) by requiring total bits <= c*G - 1)."""
+        G = digits.shape[0]
+        half = jnp.uint32(1 << (c - 1))
+        full = jnp.uint32(1 << c)
+        one, zero = jnp.uint32(1), jnp.uint32(0)
+        mags, signs = [], []
+        carry = jnp.zeros_like(digits[0])
+        for w in range(G):
+            d = digits[w] + carry
+            if w == G - 1:
+                mags.append(d)
+                signs.append(jnp.zeros_like(d))
+                break
+            hi = d >= half
+            mags.append(jnp.where(hi, full - d, d))
+            signs.append(jnp.where(hi, one, zero))
+            carry = jnp.where(hi, one, zero)
+        return jnp.stack(mags), jnp.stack(signs)
 
     # ------------------------------------------------- sequential EC scan
     def _proj_scan(self, pts):
@@ -459,7 +489,23 @@ class MSM:
                   else self._digits(scal, c, nwin))
         G = nwin
 
-        order = jnp.argsort(digits, axis=-1)               # (G, N)
+        # balanced digits: sound only when the top window keeps a spare
+        # bit for the incoming carry (total bits <= c*G - 1)
+        signed = (
+            self.config.signed_digits
+            and c >= 2
+            and (scalar_bits or cv.spec.fr.bits) <= c * nwin - 1
+        )
+        if signed:
+            mag, sgn = self._signed_recode(digits, c)
+            digits = mag
+            sortkey = (mag << 1) | sgn     # sign rides the sort key: the
+            B = (1 << (c - 1)) + 1         # boundaries depend only on mag
+        else:
+            sortkey = digits
+            B = 1 << c
+
+        order = jnp.argsort(sortkey, axis=-1)              # (G, N)
         if not lanes_major:
             pts = pts.reshape(N, 2 * L).astype(jnp.uint16)  # affine rows
 
@@ -471,15 +517,15 @@ class MSM:
         # batched dot keeps one-hot HBM traffic and dispatches minimal.
         lo_bits = min(c, 8)
         lo_n = 1 << lo_bits
-        hi_n = max(B >> lo_bits, 1)
+        hi_n = max(-(-B // lo_n), 1)
         # Slab the one-hot matmuls through a scan accumulator: the full
         # (G, N, 256) int8 one-hot pair costs ~8.6 GiB at N = 2^20 — the
         # 2^24 OOM driver.  Per-slab peak is 2 * G * Ns * 256 B.
         Ns = min(N, 1 << 15)
         S = -(-N // Ns)
         dpad = jnp.pad(
-            digits, ((0, 0), (0, S * Ns - N)), constant_values=B
-        )  # pad digit B: its hi one-hot row is all-zero, so it counts nowhere
+            digits, ((0, 0), (0, S * Ns - N)), constant_values=hi_n * lo_n
+        )  # pad digit hi_n*lo_n: its hi one-hot row is all-zero -> uncounted
         dh = jnp.moveaxis(
             (dpad >> lo_bits).astype(jnp.int32).reshape(G, S, Ns), 1, 0)
         dl = jnp.moveaxis(
@@ -501,7 +547,7 @@ class MSM:
 
         hist0 = jnp.zeros((G, hi_n, lo_n), jnp.int32)
         hist, _ = jax.lax.scan(slab, hist0, (dh, dl))
-        hist = hist.reshape(G, B)
+        hist = hist.reshape(G, hi_n * lo_n)[:, :B]
         bounds = jnp.cumsum(hist, axis=-1) - 1             # (G, B)
 
         R = self.config.scan_lanes or _ceil_pow2(int(math.sqrt(N)))
@@ -517,20 +563,29 @@ class MSM:
                 pts = (pts[:L].astype(jnp.uint32)
                        | (pts[L:].astype(jnp.uint32) << 16))
             sp = jnp.take(pts, order, axis=1)              # (L, G, N) u32
+            if signed:
+                ss = jnp.take_along_axis(sortkey, order, axis=-1) & 1
+                sp = jnp.concatenate([sp, ss[None]], axis=0)  # (L+1, G, N)
+            nr = sp.shape[0]
             if pad:
-                last = jnp.broadcast_to(sp[:, :, -1:], (L, G, pad))
+                last = jnp.broadcast_to(sp[:, :, -1:], (nr, G, pad))
                 sp = jnp.concatenate([sp, last], axis=2)
-            # (L, G, R, C) -> rows (C, L, G*R); n = r*C + c as below
-            rows = jnp.moveaxis(sp.reshape(L, G, R, C), 3, 0)
-            rows = rows.reshape(C, L, G * R)
+            # (nr, G, R, C) -> rows (C, nr, G*R); n = r*C + c as below
+            rows = jnp.moveaxis(sp.reshape(nr, G, R, C), 3, 0)
+            rows = rows.reshape(C, nr, G * R)
         else:
             sp = jnp.take(pts, order, axis=0)              # (G, N, 2L) u16
+            if signed:
+                ss = (jnp.take_along_axis(sortkey, order, axis=-1) & 1
+                      ).astype(jnp.uint16)
+                sp = jnp.concatenate([sp, ss[..., None]], axis=-1)
+            nr = sp.shape[-1]
             if pad:
-                last = jnp.broadcast_to(sp[:, -1:], (G, pad, 2 * L))
+                last = jnp.broadcast_to(sp[:, -1:], (G, pad, nr))
                 sp = jnp.concatenate([sp, last], axis=1)
-            # (G, R, C, 2L) -> rows (C, 2L, G*R)
-            rows = jnp.moveaxis(sp.reshape(G, R, C, 2 * L), 2, 0)  # (C,G,R,2L)
-            rows = jnp.moveaxis(rows, -1, 1).reshape(C, 2 * L, G * R)
+            # (G, R, C, nr) -> rows (C, nr, G*R)
+            rows = jnp.moveaxis(sp.reshape(G, R, C, nr), 2, 0)  # (C,G,R,nr)
+            rows = jnp.moveaxis(rows, -1, 1).reshape(C, nr, G * R)
 
         emitted, tot = kern.scan_mixed(rows)   # (C, 3L, GR) u16, (3L, GR) u32
 
@@ -563,14 +618,21 @@ class MSM:
             self._canon(local16[:, B - 1].astype(jnp.uint32)),
         )                                                  # (G, 3, L)
 
-        # 2^c * T: c doublings in ONE kernel (in-graph XLA-level group ops
-        # cost ~85 us/link; the chained kernel is ~us/link)
+        # (B-1) * T in ONE chained-doubling kernel (in-graph XLA-level
+        # group ops cost ~85 us/link): unsigned B-1 = 2^c - 1 needs the
+        # subtract fixup; signed B-1 = 2^(c-1) is a pure doubling chain
         tot_lm = jnp.moveaxis(total, 0, -1).reshape(3 * L, G)
-        shifted_lm = kern.dbl_n(tot_lm, c)
-        shifted = self._canon(
-            jnp.moveaxis(shifted_lm.reshape(3, L, G), -1, 0)
-        )
-        acc = cv.add(shifted, cv.neg(total))               # (B-1) * T
+        if signed:
+            shifted_lm = kern.dbl_n(tot_lm, c - 1)
+            acc = self._canon(
+                jnp.moveaxis(shifted_lm.reshape(3, L, G), -1, 0)
+            )
+        else:
+            shifted_lm = kern.dbl_n(tot_lm, c)
+            shifted = self._canon(
+                jnp.moveaxis(shifted_lm.reshape(3, L, G), -1, 0)
+            )
+            acc = cv.add(shifted, cv.neg(total))           # (B-1) * T
         if B > 1:
             rest = jnp.concatenate(
                 [carry16[:, : B - 1], local16[:, : B - 1]], axis=1

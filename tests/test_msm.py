@@ -130,3 +130,67 @@ def test_fused_msm_interpret_matches_oracle():
     aff = curve.to_affine(out[None])[0]
     got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
     assert got == expected
+
+
+def test_signed_recode_exact():
+    """Balanced digits reconstruct the scalar exactly: sum of
+    (-1)^sign * mag * 2^(c*w) == scalar, mags <= 2^(c-1), incl. the
+    all-ones top-edge scalar."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blaze_tpu.msm import MSM
+    from blaze_tpu.curves import CURVES, Curve
+
+    msm = MSM(Curve(CURVES["bn254"]))
+    c, nwin, bits = 8, 4, 31
+    rng = np.random.default_rng(2)
+    vals = [int(v) for v in rng.integers(0, 1 << bits, size=64)]
+    vals += [0, 1, (1 << bits) - 1, (1 << (bits - 1))]
+    digits = np.stack(
+        [np.array([(v >> (c * w)) & ((1 << c) - 1) for v in vals],
+                  dtype=np.uint32) for w in range(nwin)]
+    )
+    mag, sgn = msm._signed_recode(jnp.asarray(digits), c)
+    mag, sgn = np.asarray(mag, dtype=np.int64), np.asarray(sgn)
+    assert mag.max() <= 1 << (c - 1)
+    for i, v in enumerate(vals):
+        got = sum(
+            int(mag[w, i]) * (-1 if sgn[w, i] else 1) * (1 << (c * w))
+            for w in range(nwin)
+        )
+        assert got == v, (i, v, got)
+
+
+def test_fused_msm_interpret_signed_digits():
+    """Signed-digit (balanced-window) fused MSM under the interpreter vs
+    the host oracle — halved buckets, in-kernel Y negation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blaze_tpu.curves import CURVES, Curve
+    from blaze_tpu.msm import MSM, MSMConfig
+    from blaze_tpu.oracle import ECOracle, tiled_msm_instance
+
+    spec = CURVES["bn254"]
+    curve = Curve(spec)
+    msm = MSM(curve, MSMConfig(fused="on", interpret=True, kernel_tile=128,
+                               signed_digits=True))
+    n, c = 128, 6
+    points, scalars, _, _ = tiled_msm_instance(spec, n, seed=53)
+    scal = np.asarray(scalars).copy()
+    scal[:, 0] &= 0x7FF                       # 11 live bits <= c*nwin - 1
+    scal[:, 1:] = 0
+    pts_int = [
+        (
+            int(sum(int(v) << (16 * i) for i, v in enumerate(p[0]))),
+            int(sum(int(v) << (16 * i) for i, v in enumerate(p[1]))),
+        )
+        for p in np.asarray(points)
+    ]
+    expected = ECOracle(spec).msm(pts_int, [int(s[0]) for s in scal])
+    pts = curve.fq.to_mont(jnp.asarray(points))
+    out = msm(pts, jnp.asarray(scal), window_bits=c, scalar_bits=12)
+    aff = curve.to_affine(out[None])[0]
+    got = (curve.fq.to_int(aff[0]), curve.fq.to_int(aff[1]))
+    assert got == expected
