@@ -55,7 +55,10 @@ def bench_msm(logn: int, curve_name: str, iters: int) -> dict:
     # arrays of one pass fill ~4 GiB of HBM at that size; larger inputs
     # stream chunks and accumulate per-window partials (msm_api.rs:156
     # chunking analog).
-    msm = MSM(curve, MSMConfig(chunk_log2=min(logn, 20)))
+    msm = MSM(curve, MSMConfig(
+        chunk_log2=min(logn, 20),
+        signed_digits=os.environ.get("BLZ_MSM_SIGNED") == "1",
+    ))
 
     # Synthetic but valid inputs: tile a small set of real curve points
     # (the reference's own trick, tests/msm/mod.rs:23-31) — throughput does

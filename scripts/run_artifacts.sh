@@ -48,4 +48,7 @@ timeout 2400 python experiments/msm_trace.py 20 || log "trace FAILED"
 
 log "headline bench (all metrics)"
 timeout 7200 python bench.py || log "bench FAILED"
+
+log "signed-digit MSM A/B (not recorded)"
+timeout 3600 env BLZ_BENCH_ONLY=msm BLZ_MSM_SIGNED=1 python bench.py   || log "signed A/B FAILED"
 log "done"
