@@ -377,3 +377,43 @@ def test_msm_client_lifecycle_resident(mode):
     p = spec.fq.p
     zi = pow(zb, -1, p)
     assert (xb * zi % p, yb * zi % p) == exp_aff
+
+
+def test_ntt_client_blocked_pipelined_double_buffer():
+    """The reference's 2-deep pipelined flow (integration_ntt.rs:103-136)
+    on the blocked residency: alternate host/kernel buffers across 3
+    vectors, every result checked against its own input via the inverse
+    client."""
+    from blaze_tpu.fields import FIELDS
+    from blaze_tpu.runtime.clients import NTTClient, NTTInit, NTTInput
+
+    spec = FIELDS["bls12_381_fr"]
+    logn, n = 16, 1 << 16
+    rng = np.random.default_rng(5)
+    vecs = []
+    for _ in range(3):
+        v = rng.integers(0, 1 << 16, size=(n, spec.nlimbs), dtype=np.uint16)
+        v[:, -1] &= 0x3FFF
+        vecs.append(v.astype("<u2").tobytes())
+
+    fwd = NTTClient(NTTInit(field=spec, logn=logn))
+    inv = NTTClient(NTTInit(field=spec, logn=logn), inverse=True)
+    assert fwd._blocked
+    outs = {}
+    # software pipeline: result(buf_host) drains while buf_kernel runs
+    fwd.set_data(NTTInput(data=vecs[0], buf_host=0))
+    fwd.start_process(0)
+    for i in range(1, 3):
+        buf_host, buf_kernel = i % 2, (i - 1) % 2
+        fwd.set_data(NTTInput(data=vecs[i], buf_host=buf_host))
+        fwd.start_process(buf_host)
+        fwd.wait_result(buf_kernel)
+        outs[i - 1] = fwd.result(buf_kernel)
+    fwd.wait_result(0 if 2 % 2 == 0 else 1)
+    outs[2] = fwd.result(2 % 2)
+
+    for i in range(3):
+        inv.set_data(NTTInput(data=outs[i]))
+        inv.start_process()
+        inv.wait_result()
+        assert inv.result() == vecs[i], f"vector {i} roundtrip"
