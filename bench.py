@@ -30,6 +30,33 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 PREV_PATH = os.path.join(HERE, "BENCH_PREV.json")
 
 
+def _probe_backend() -> str:
+    """Name of the usable default backend, probing in a SUBPROCESS first.
+
+    A registered-but-unreachable TPU plugin (dead tunnel relay) raises from
+    the first in-process `jax.default_backend()` and would take the whole
+    bench down (the BENCH_r04 rc=1 failure).  Probe out-of-process; on any
+    failure force this process onto CPU via JAX_PLATFORMS before jax is
+    imported, so every later backend query is safe.  Same fallback as
+    __graft_entry__.dryrun_multichip (commit 8e4bf28)."""
+    import subprocess
+
+    backend = ""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=300,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            backend = out.stdout.strip().splitlines()[-1]
+    except Exception:
+        pass
+    if not backend or backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        backend = "cpu"
+    return backend
+
+
 def _sync(x):
     # block_until_ready can return before execution completes on
     # tunneled platforms; a 1-element device_get is a true barrier.
@@ -311,22 +338,30 @@ def _vs_baseline(hist: dict, metric: str, value: float) -> float:
 
 
 def main():
+    backend = _probe_backend()    # MUST run before the in-process jax import
+    on_tpu = backend == "tpu"
     import jax
 
+    if not on_tpu:
+        # The container's sitecustomize can override JAX_PLATFORMS from the
+        # environment; pin the platform through jax.config too (the same
+        # belt-and-braces conftest.py uses).
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    logn = int(os.environ.get("BLZ_BENCH_LOGN", "24"))
+    # CPU-tier sizes on fallback: a parseable (small) record beats an rc=1.
+    logn = int(os.environ.get("BLZ_BENCH_LOGN", "24" if on_tpu else "14"))
     curve_name = os.environ.get("BLZ_BENCH_CURVE", "bls12_381")
     iters = int(os.environ.get("BLZ_BENCH_ITERS", "3"))
-    import jax as _jax
 
-    ntt_default = "27" if _jax.default_backend() == "tpu" else "20"
+    ntt_default = "27" if on_tpu else "16"
     ntt_logn = int(os.environ.get("BLZ_BENCH_NTT_LOGN", ntt_default))
-    pos_logl = int(os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "15"))
+    pos_logl = int(
+        os.environ.get("BLZ_BENCH_POSEIDON_LOGL", "15" if on_tpu else "9"))
     pipe_on = os.environ.get(
-        "BLZ_BENCH_PIPELINE", "1" if _jax.default_backend() == "tpu" else "0"
+        "BLZ_BENCH_PIPELINE", "1" if on_tpu else "0"
     ) == "1"
     default_set = "msm,ntt,poseidon" + (",pipeline" if pipe_on else "")
     only = set(
@@ -368,6 +403,8 @@ def main():
     }
     for k, v in head.items():
         out.setdefault(k, v)
+    if not on_tpu:
+        out["backend"] = backend    # make a tunnel-outage fallback visible
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -52,12 +52,12 @@ class PoseidonKernels(PallasFieldOps):
         # The key must pin the FULL constant set: two CSV-loaded parameter
         # sets with identical (field, t, rounds) but different constants
         # must not share a kernel (its MDS/RC matrices are baked in).
-        const_digest = hash(
-            (tuple(params.round_constants),
-             tuple(tuple(row) for row in params.mds))
-        )
+        # Exact tuples, not their hash() — a collision would silently
+        # reuse a kernel with the wrong baked-in constants.
+        consts = (tuple(params.round_constants),
+                  tuple(tuple(row) for row in params.mds))
         key = (params.spec.name, params.t, params.r_f, params.r_p,
-               const_digest, interpret)
+               consts, interpret)
         inst = cls._CACHE.get(key)
         if inst is None:
             inst = cls(params, interpret)

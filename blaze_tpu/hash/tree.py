@@ -114,6 +114,8 @@ class MerkleTreeBuilder:
         self.node_hasher = Poseidon(self.node_params)
         self.field = self.leaf_hasher.field
         self._staged_fns: dict = {}
+        self._leaf_fns: dict = {}      # streaming: per-width leaf sponge
+        self._close_fns: dict = {}     # streaming: per-(height,B) node levels
 
     def _fused_lm(self):
         """The lanes-major fused kernel pair, when the platform has it."""
@@ -188,6 +190,98 @@ class MerkleTreeBuilder:
         layers = list(fn(jnp.asarray(leaf_cols_lm)))
         return TreeResult(layers_lm_mont=layers, field=self.field)
 
+    # --------------------------------------------- streaming (incremental)
+    #
+    # The reference's engine hashes leaves WHILE elements are still being
+    # fed and emits results incrementally (rayon producer/consumer pair,
+    # tests/integration_poseidon.rs:81-119; drain loop
+    # poseidon_api.rs:128-145).  These methods split the build into a
+    # per-chunk leaf sponge and a tree-closing pass so the client can
+    # dispatch leaf hashing as soon as enough columns have arrived.
+
+    def hash_leaves_staged(self, cols_lm):
+        """Fused chunk leaf sponge: (LEAF_ARITY, L, Bc) canonical
+        lanes-major -> (L, Bc) Montgomery leaf hashes (async)."""
+        kerns = self._fused_lm()
+        if kerns is None:
+            raise RuntimeError("hash_leaves_staged needs the fused kernels")
+        A, L, Bc = cols_lm.shape
+        if A != LEAF_ARITY:
+            raise ValueError(f"want leading axis {LEAF_ARITY}, got {A}")
+        fn = self._leaf_fns.get(Bc)
+        if fn is None:
+            kleaf, _ = kerns
+            tag_canon = np.asarray(
+                self.field.jit_op("from_mont")(
+                    self.leaf_hasher.domain_tag(0)[None]
+                )
+            )[0][:, None]
+
+            def run(cols):
+                state = jnp.concatenate(
+                    [jnp.broadcast_to(jnp.asarray(tag_canon), (1, L, Bc)),
+                     cols], axis=0
+                )
+                return kleaf.permute_lm(state, convert_in=True)[1]
+
+            fn = self._leaf_fns[Bc] = jax.jit(run)
+        return fn(jnp.asarray(cols_lm))
+
+    def close_staged(self, leaf_lm, height: int) -> TreeResult:
+        """Node levels over a complete (L, B) Montgomery leaf layer
+        assembled from hash_leaves_staged chunks."""
+        kerns = self._fused_lm()
+        if kerns is None:
+            raise RuntimeError("close_staged needs the fused kernels")
+        L, B = leaf_lm.shape
+        if B != base_layer_size(height):
+            raise ValueError(f"want B={base_layer_size(height)}, got {B}")
+        fn = self._close_fns.get((height, B))
+        if fn is None:
+            _, knode = kerns
+            tag_n = np.asarray(self.node_hasher.domain_tag(0))[:, None]
+
+            def run(layer):
+                layers = [layer]
+                while layer.shape[-1] > 1:
+                    Bc = layer.shape[-1] // ARITY
+                    grouped = jnp.moveaxis(layer.reshape(L, Bc, ARITY), 2, 0)
+                    state = jnp.concatenate(
+                        [jnp.broadcast_to(jnp.asarray(tag_n), (1, L, Bc)),
+                         grouped], axis=0
+                    )
+                    layer = knode.permute_lm(state)[1]
+                    layers.append(layer)
+                return tuple(layers)
+
+            fn = self._close_fns[(height, B)] = jax.jit(run)
+        layers = list(fn(leaf_lm))
+        return TreeResult(layers_lm_mont=layers, field=self.field)
+
+    def hash_leaves(self, cols):
+        """Portable chunk leaf sponge: (Bc, LEAF_ARITY, L) canonical ->
+        (Bc, L) Montgomery leaf hashes (async)."""
+        mont = self.field.to_mont(jnp.asarray(cols))
+        return self.leaf_hasher.hash(mont, self.leaf_hasher.domain_tag(0))
+
+    def close(self, leaf_layer_mont, height: int) -> TreeResult:
+        """Portable node levels over a complete (B, L) mont leaf layer."""
+        if leaf_layer_mont.shape[0] != base_layer_size(height):
+            raise ValueError(
+                f"want {base_layer_size(height)} leaves, "
+                f"got {leaf_layer_mont.shape[0]}"
+            )
+        f = self.field
+        layer = leaf_layer_mont
+        layers_mont = [layer]
+        tag = self.node_hasher.domain_tag(0)
+        while layer.shape[0] > 1:
+            grouped = layer.reshape(-1, ARITY, layer.shape[-1])
+            layer = self.node_hasher.hash(grouped, tag)
+            layers_mont.append(layer)
+        layers = [f.jit_op("from_mont")(l) for l in layers_mont]
+        return TreeResult(layers=layers)
+
     def build(
         self,
         elements,
@@ -201,11 +295,21 @@ class MerkleTreeBuilder:
         f = self.field
         nleaves = base_layer_size(height)
         if mode == TreeMode.TREE_C and self._fused_lm() is not None:
-            host = np.asarray(elements, dtype=np.uint32).reshape(
-                nleaves, LEAF_ARITY, -1
-            )
-            lm = np.ascontiguousarray(host.transpose(1, 2, 0))
-            return self.build_staged(jnp.asarray(lm), height)
+            if isinstance(elements, jax.Array):
+                # device arrays stay on device: lanes-major via moveaxis,
+                # no D2H+H2D round-trip
+                lm = jnp.moveaxis(
+                    elements.astype(jnp.uint32).reshape(
+                        nleaves, LEAF_ARITY, -1
+                    ),
+                    0, 2,
+                )
+            else:
+                host = np.asarray(elements, dtype=np.uint32).reshape(
+                    nleaves, LEAF_ARITY, -1
+                )
+                lm = jnp.asarray(np.ascontiguousarray(host.transpose(1, 2, 0)))
+            return self.build_staged(lm, height)
         # device arrays must not round-trip through the host
         arr = (elements if isinstance(elements, jax.Array)
                else jnp.asarray(np.asarray(elements, dtype=np.uint32)))
@@ -222,13 +326,5 @@ class MerkleTreeBuilder:
                 raise ValueError(f"TreeD wants ({nleaves}, L), got {arr.shape}")
             layer = f.to_mont(arr)
 
-        layers_mont = [layer]
-        tag = self.node_hasher.domain_tag(0)
-        while layer.shape[0] > 1:
-            grouped = layer.reshape(-1, ARITY, layer.shape[-1])
-            layer = self.node_hasher.hash(grouped, tag)
-            layers_mont.append(layer)
-
         # leave layers on device (async dispatch); drained by records()
-        layers = [f.jit_op("from_mont")(l) for l in layers_mont]
-        return TreeResult(layers=layers)
+        return self.close(layer, height)

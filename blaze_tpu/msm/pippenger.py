@@ -754,6 +754,49 @@ class MSM:
     def _add_wsums(self, a, b):
         return self.curve.add(a, b)
 
+    # ----------------------------------------- streaming partial surface
+    #
+    # The client's streaming set_data (the reference's 2048-element DMA
+    # overlap, msm_api.rs:156-217) consumes chunks as they land on device:
+    # each chunk contributes per-window partial sums, accumulated on
+    # device, and the fold runs once at wait_result.  These two methods
+    # are the per-chunk body of __call__, exposed so the partials can be
+    # dispatched as operands arrive instead of after full staging.
+
+    def msm_partial(self, points, scalars, c: int,
+                    scalar_bits: int | None = None):
+        """Per-window sums (nwin, 3, L) of one resident chunk, active path."""
+        if self.config.fused_active():
+            return self._msm_fused_jit(points, scalars, c, scalar_bits, False)
+        if points.ndim == 2:
+            raise ValueError(
+                "lanes-major (2L, N) residency needs the fused TPU path"
+            )
+        if points.dtype == jnp.uint16:
+            points = points.astype(jnp.uint32)
+        if scalars.dtype == jnp.uint16:
+            scalars = scalars.astype(jnp.uint32)
+        nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
+        ngroups = -(-nwin // max(1, self.config.group_windows))
+        G = -(-nwin // ngroups)
+        wpad = ngroups * G
+        digits = self._digits_jit(scalars, c, nwin)
+        if wpad > nwin:
+            digits = jnp.pad(digits, ((0, wpad - nwin), (0, 0)))
+        parts = [
+            self._group_jit(points, digits[g * G : (g + 1) * G], c)
+            for g in range(ngroups)
+        ]
+        return jnp.concatenate(parts, axis=0)[:nwin]
+
+    def accumulate(self, wsums, part):
+        """Running per-window accumulation across streamed chunks."""
+        return part if wsums is None else self._add_wsums(wsums, part)
+
+    def finalize(self, wsums, c: int):
+        """Horner window fold of accumulated partials -> (3, L) mont."""
+        return self._fold_jit(wsums, c)
+
     def __call__(self, points_aff_mont, scalars, window_bits: int | None = None,
                  scalar_bits: int | None = None):
         """MSM of (N, 2, L) Montgomery affine points with (N, Ls) canonical

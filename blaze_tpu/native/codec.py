@@ -124,6 +124,10 @@ def transpose(data: bytes, rows: int, cols: int, elem_bytes: int) -> bytes:
 def to_blocked(x16: np.ndarray, block: int) -> np.ndarray:
     """(K, L) uint16 row-major -> (K/block, L, block) blocked layout."""
     k, l = x16.shape
+    if k % block:
+        from ..utils.errors import DataError
+
+        raise DataError(f"to_blocked: K={k} not a multiple of block={block}")
     lib = _load()
     src = np.ascontiguousarray(x16, dtype=np.uint16)
     if lib:
@@ -138,6 +142,10 @@ def to_blocked(x16: np.ndarray, block: int) -> np.ndarray:
 def from_blocked(xb: np.ndarray, block: int) -> np.ndarray:
     """(K/block, L, block) blocked -> (K, L) uint16 row-major."""
     kb, l, t = xb.shape
+    if t != block:
+        from ..utils.errors import DataError
+
+        raise DataError(f"from_blocked: last axis {t} != block={block}")
     src = np.ascontiguousarray(xb, dtype=np.uint16)
     lib = _load()
     if lib:

@@ -4,12 +4,13 @@ API shape follows the reference's clients 1:1 (init struct -> lifecycle
 methods -> wire-format results), with JAX async dispatch supplying the
 queue/poll machinery the FPGA exposes as registers.
 
-One deliberate lifecycle divergence: the reference queues the task BEFORE
-streaming data (initialize -> start_process -> set_data; the FPGA consumes
-the DMA stream after the task is queued, msm_api.rs:113-220).  Here
-set_data must precede start_process — JAX dispatch captures the operand
-arrays at launch, so "start then stream" has no meaning; start_process
-raises NotReady if no data is staged.
+Both lifecycle orders work.  set_data -> start_process stages the full
+operand set, then dispatches (one compiled launch).  The reference's own
+order — initialize -> start_process -> set_data (the FPGA consumes the DMA
+stream after the task is queued, msm_api.rs:113-220) — opens a STREAMING
+task: each set_data chunk is transferred and its per-window partials
+dispatched immediately, so the host->device copy of chunk k+1 overlaps
+compute of chunk k and the full operand set is never resident at once.
 
 MSM     <- /root/reference/src/ingo_msm/msm_api.rs
 NTT     <- /root/reference/src/ingo_ntt/ntt_api.rs
@@ -46,6 +47,7 @@ from ..hash.tree import (
 from ..msm import (
     MSM,
     MSMConfig,
+    default_window_bits,
     points_from_resident,
     points_to_resident,
     scalars_to_resident,
@@ -56,6 +58,7 @@ from .device import DeviceContext
 from .primitive import DriverPrimitive, ImageParams, timed
 from ..utils.errors import (
     BlazeError,
+    DataError,
     DeviceError,
     InvalidPrimitiveParam,
     NotReady,
@@ -65,19 +68,35 @@ from ..utils.misc import elide_payload, hard_sync, retry
 log = logging.getLogger("blaze_tpu.clients")
 
 
-def _device_put(x, device):
+# "It is important to check the firewall status after a large transfer"
+# (dclient.rs:241-243; status dump 566-579): transfers at least this big
+# get an automatic post-transfer health consult.
+_HEALTH_CHECK_BYTES = 256 * 1024 * 1024
+
+
+def _device_put(x, device, ctx=None):
     """Transfer with the reference's retry semantics (utils.rs:133-147):
     transient PJRT/tunnel failures get N attempts with a short backoff.
     A transfer that still fails after all attempts surfaces as the typed
-    DeviceError (the WriteError analog, error.rs:7-10)."""
+    DeviceError (the WriteError analog, error.rs:7-10).  Large transfers
+    are followed by an automatic health check (the post-transfer firewall
+    status consult, dclient.rs:241-279)."""
     try:
-        return retry(lambda: jax.device_put(x, device), times=3, sleep_s=0.5)
+        out = retry(lambda: jax.device_put(x, device), times=3, sleep_s=0.5)
     except BlazeError:
         raise
     except Exception as e:
         raise DeviceError(
             f"device_put failed after retries: {e}", buffer=str(device)
         ) from e
+    if ctx is not None and getattr(x, "nbytes", 0) >= _HEALTH_CHECK_BYTES:
+        h = ctx.health()
+        if not h.ok():
+            raise DeviceError(
+                f"post-transfer health check failed: {h}",
+                buffer=str(device),
+            )
+    return out
 
 
 def _resolve_curve(curve) -> Curve:
@@ -144,6 +163,11 @@ class MSMClient(DriverPrimitive):
         # new start_process never clobbers an unpopped result.
         self._inflight: collections.deque = collections.deque()
         self._hbm_cache: dict = {}     # persistent point residency (mode 3)
+        # Open streaming task (start_process before set_data — the
+        # reference's lifecycle order, msm_api.rs:113-217): chunks are
+        # consumed as they arrive, per-window partials accumulate on
+        # device, the fold runs at wait_result.
+        self._stream: Optional[dict] = None
 
     def _resident(self) -> bool:
         """True when operands should use the lanes-major TPU residency."""
@@ -176,7 +200,16 @@ class MSMClient(DriverPrimitive):
 
         On TPU, operands are converted to the lanes-major residency
         (msm/residency.py) so the client lifecycle reaches the fused-kernel
-        path — and max problem sizes — directly."""
+        path — and max problem sizes — directly.
+
+        With an OPEN STREAMING TASK (start_process called first — the
+        reference's order, §3.1: the engine consumes the DMA stream after
+        the task is queued, msm_api.rs:156-217) each call stages one chunk
+        and dispatches its per-window partials immediately: the transfer
+        of chunk k+1 overlaps the compute of chunk k (JAX async dispatch),
+        and the full operand set never has to be resident at once."""
+        if self._stream is not None:
+            return self._set_data_stream(input)
         with timed(self._timings, "set_data_s"):
             params = input.params or self._params
             if params is None:
@@ -206,10 +239,12 @@ class MSMClient(DriverPrimitive):
                 scal = np.asarray(scal)
             if self._resident():
                 self._scalars = _device_put(
-                    scalars_to_resident(scal), self.ctx.device
+                    scalars_to_resident(scal), self.ctx.device, self.ctx
                 )
             else:
-                self._scalars = _device_put(jnp.asarray(scal), self.ctx.device)
+                self._scalars = _device_put(
+                    jnp.asarray(scal), self.ctx.device, self.ctx
+                )
 
             key = params.hbm_point_addr
             if input.points is not None:
@@ -234,11 +269,13 @@ class MSMClient(DriverPrimitive):
                     )
                 if self._resident():
                     dev = points_to_resident(
-                        self.curve, _device_put(jnp.asarray(pts), self.ctx.device)
+                        self.curve,
+                        _device_put(jnp.asarray(pts), self.ctx.device,
+                                    self.ctx),
                     )
                 else:
                     dev = self.curve.fq.to_mont(
-                        _device_put(jnp.asarray(pts), self.ctx.device)
+                        _device_put(jnp.asarray(pts), self.ctx.device, self.ctx)
                     )
                 if key is not None:
                     self._hbm_cache[key] = dev      # mode 2: load-to-HBM
@@ -251,12 +288,113 @@ class MSMClient(DriverPrimitive):
                     )
                 self._points = self._hbm_cache[key]  # mode 3: reuse
 
+    def _set_data_stream(self, input: MSMInput) -> None:
+        """One streamed chunk: stage + dispatch partials (no sync)."""
+        with timed(self._timings, "set_data_s"):
+            st = self._stream
+            params = self._params
+            spec = self.curve.spec
+            if isinstance(input.scalars, (bytes, bytearray, memoryview)):
+                scal = decode_scalars(input.scalars, spec)
+            else:
+                scal = np.asarray(input.scalars, dtype=np.uint32)
+            nchunk = scal.shape[0]
+            if st["consumed"] + nchunk > params.nof_elements:
+                raise InvalidPrimitiveParam(
+                    f"stream overflow: {st['consumed']} + {nchunk} > "
+                    f"{params.nof_elements}"
+                )
+            k = self.init.precompute_factor
+            scalar_bits = None
+            if k > 1:
+                scal, scalar_bits = split_scalars(scal, k, spec.fr.bits)
+                scal = np.asarray(scal)
+            if self._resident():
+                sdev = _device_put(
+                    scalars_to_resident(scal), self.ctx.device, self.ctx
+                )
+            else:
+                sdev = _device_put(jnp.asarray(scal), self.ctx.device, self.ctx)
+
+            if input.points is not None:
+                if isinstance(input.points, (bytes, bytearray, memoryview)):
+                    pts = decode_affine_points(input.points, spec)
+                else:
+                    pts = np.asarray(input.points, dtype=np.uint32)
+                if pts.shape[0] != k * nchunk:
+                    raise InvalidPrimitiveParam(
+                        f"want {k * nchunk} chunk points "
+                        f"(precompute_factor={k}), got {pts.shape[0]}"
+                    )
+                if k > 1:
+                    pts = (
+                        pts.reshape(nchunk, k, 2, -1)
+                        .transpose(1, 0, 2, 3)
+                        .reshape(k * nchunk, 2, -1)
+                    )
+                if self._resident():
+                    pdev = points_to_resident(
+                        self.curve,
+                        _device_put(jnp.asarray(pts), self.ctx.device, self.ctx),
+                    )
+                else:
+                    pdev = self.curve.fq.to_mont(
+                        _device_put(jnp.asarray(pts), self.ctx.device, self.ctx)
+                    )
+            else:
+                key = params.hbm_point_addr
+                if key is None or key not in self._hbm_cache:
+                    raise NotReady(
+                        "streamed scalars-only chunks need points cached "
+                        f"under hbm_point_addr (key={key!r})"
+                    )
+                cache = self._hbm_cache[key]
+                lo, hi = st["consumed"], st["consumed"] + nchunk
+                if k > 1:
+                    # cache is multiple-major over the FULL base set:
+                    # gather this chunk's rows for every multiple
+                    nb = params.nof_elements
+                    idx = jnp.asarray(np.concatenate(
+                        [m * nb + np.arange(lo, hi) for m in range(k)]
+                    ))
+                    pdev = (jnp.take(cache, idx, axis=1)
+                            if cache.ndim == 2
+                            else jnp.take(cache, idx, axis=0))
+                else:
+                    pdev = cache[:, lo:hi] if cache.ndim == 2 else cache[lo:hi]
+
+            part = self.engine.msm_partial(pdev, sdev, st["c"], scalar_bits)
+            st["wsums"] = self.engine.accumulate(st["wsums"], part)
+            st["consumed"] += nchunk
+
     def start_process(self, param=None) -> None:
         """Queue the task (PUSH_MSM_TASK analog, msm_api.rs:113-120).
         Returns immediately (JAX dispatch is async) and may be called
-        repeatedly — each task joins the in-flight queue with its label."""
+        repeatedly — each task joins the in-flight queue with its label.
+
+        Called BEFORE set_data (with a task size from initialize()), it
+        opens a streaming task — the reference's own order (§3.1:
+        initialize -> start_process -> set_data; the engine consumes the
+        DMA stream after the task is queued, msm_api.rs:113-217)."""
+        if self._stream is not None:
+            raise NotReady(
+                f"streaming task open ({self._stream['consumed']} of "
+                f"{self._params.nof_elements} elements fed)"
+            )
         if self._points is None or self._scalars is None:
-            raise NotReady("set_data() first")
+            if self._params is None:
+                raise NotReady("set_data() first")
+            with timed(self._timings, "start_s"):
+                n = self._params.nof_elements
+                c = min(self.engine.config.window_bits,
+                        default_window_bits(n))
+                self._stream = {
+                    "label": self._push_task(),
+                    "wsums": None,
+                    "consumed": 0,
+                    "c": c,
+                }
+            return
         with timed(self._timings, "start_s"):
             label = self._push_task()
             out = self.engine(
@@ -266,7 +404,22 @@ class MSMClient(DriverPrimitive):
 
     def wait_result(self) -> None:
         """Block until the oldest queued task is done (RESULT_VALID poll
-        analog, msm_api.rs:222-238)."""
+        analog, msm_api.rs:222-238).  An open streaming task is closed
+        here: all declared elements must have been fed, the accumulated
+        window partials are folded, and the fold is synced."""
+        if self._stream is not None:
+            st = self._stream
+            n = self._params.nof_elements
+            if st["consumed"] < n:
+                raise NotReady(
+                    f"streamed {st['consumed']} of {n} elements"
+                )
+            with timed(self._timings, "wait_s"):
+                out = self.engine.finalize(st["wsums"], st["c"])
+                self._inflight.append((st["label"], out))
+                self._stream = None
+                hard_sync(out)
+            return
         if not self._inflight:
             return
         with timed(self._timings, "wait_s"):
@@ -274,6 +427,8 @@ class MSMClient(DriverPrimitive):
 
     def result(self, param=None) -> Optional[MSMResult]:
         """Pop the oldest completed task (POP_RESULT, msm_api.rs:240-274)."""
+        if self._stream is not None:
+            self.wait_result()      # close the streaming task (fold + sync)
         if not self._inflight:
             return None
         self.wait_result()
@@ -299,7 +454,7 @@ class MSMClient(DriverPrimitive):
         if isinstance(points, (bytes, bytearray, memoryview)):
             points = decode_affine_points(points, spec)
         dev = _device_put(jnp.asarray(np.asarray(points, np.uint32)),
-                          self.ctx.device)
+                          self.ctx.device, self.ctx)
         if self._resident():
             self._hbm_cache[key] = points_to_resident(self.curve, dev)
         else:
@@ -313,13 +468,16 @@ class MSMClient(DriverPrimitive):
         return np.asarray(self.curve.fq.from_mont(dev))
 
     def is_msm_engine_ready(self) -> bool:
-        return not self._inflight
+        return not self._inflight and self._stream is None
 
     def get_api(self) -> dict:
         """Register-dump analog (msm_api.rs:324-330)."""
         return {
             "pending_tasks": self.pending_tasks,
             "task_label": self.task_label,
+            "streamed_elements": (
+                None if self._stream is None else self._stream["consumed"]
+            ),
             "timings": dataclasses.asdict(self._timings),
             "health": dataclasses.asdict(self.ctx.health()),
         }
@@ -403,6 +561,11 @@ class NTTClient(DriverPrimitive):
                 # then the host-side blocked reshape (the preprocess /
                 # bank-scatter analog, ntt_data.rs:80-111)
                 if isinstance(input.data, (bytes, bytearray, memoryview)):
+                    if len(input.data) % self.spec.nbytes:
+                        raise DataError(
+                            f"{len(input.data)} B is not a multiple of the "
+                            f"{self.spec.nbytes} B element size"
+                        )
                     u16 = np.frombuffer(input.data, dtype="<u2").reshape(
                         -1, self.spec.nlimbs
                     )
@@ -413,7 +576,7 @@ class NTTClient(DriverPrimitive):
                         f"want {n} elements, got {u16.shape[0]}"
                     )
                 xb = self.plan.to_blocked(u16)
-                self._slots[input.buf_host] = _device_put(xb, self.ctx.device)
+                self._slots[input.buf_host] = _device_put(xb, self.ctx.device, self.ctx)
                 return
             if isinstance(input.data, (bytes, bytearray, memoryview)):
                 limbs = bytes_to_limbs(input.data, self.spec)
@@ -423,7 +586,7 @@ class NTTClient(DriverPrimitive):
                 raise InvalidPrimitiveParam(
                     f"want {n} elements, got {limbs.shape[0]}"
                 )
-            dev = _device_put(jnp.asarray(limbs), self.ctx.device)
+            dev = _device_put(jnp.asarray(limbs), self.ctx.device, self.ctx)
             self._slots[input.buf_host] = self.plan.field.to_mont(dev)
 
     def start_process(self, buf_kernel: int = 0) -> None:
@@ -498,12 +661,20 @@ class PoseidonInitializeParameters:
     The reference loads one opaque CSV instruction stream
     (poseidon_api.rs:205-243); here the leaf (t=12) and node (t=9)
     instances are separate oracle-checkable constant sets, each loadable
-    from its own CSV."""
+    from its own CSV.
+
+    `stream_leaves` > 0 enables the reference's feed-while-hashing
+    behavior (integration_poseidon.rs:81-119): every time that many
+    complete leaf columns have been fed, their leaf hashes are dispatched
+    immediately (async) instead of waiting for start_process — results
+    become drainable (drain_stream) before the last element arrives.
+    TREE_C only."""
 
     tree_height: int
     tree_mode: TreeMode = TreeMode.TREE_C
     instruction_path: Optional[str] = None       # leaf constants CSV
     node_instruction_path: Optional[str] = None  # node constants CSV
+    stream_leaves: int = 0                       # leaves per streamed block
 
 
 @dataclasses.dataclass
@@ -534,6 +705,17 @@ class PoseidonClient(DriverPrimitive):
         self._count: int = 0
         self._staged = None          # device-side lanes-major leaf columns
         self._tree = None
+        # streaming build state (stream_leaves > 0): leaf-hash chunks
+        # dispatched as elements arrive; guarded by a lock so a feeder
+        # thread and a drainer thread can share the client the way the
+        # reference's rayon pair shares its Arc<Mutex<PoseidonClient>>
+        import threading
+
+        self._lock = threading.RLock()
+        self._stream_parts: list = []   # per-block device leaf hashes
+        self._stream_hashed = 0         # leaves hashed so far
+        self._stream_drained = 0        # stream_parts already drained
+        self._stream_off = 0            # elements consumed from _chunks[0]
 
     def loaded_binary_parameters(self) -> ImageParams:
         return ImageParams(
@@ -561,10 +743,15 @@ class PoseidonClient(DriverPrimitive):
         self._builder = MerkleTreeBuilder(
             self.spec, leaf_params=leaf_params, node_params=node_params
         )
-        self._chunks.clear()
-        self._count = 0
-        self._staged = None
-        self._tree = None
+        with self._lock:
+            self._chunks.clear()
+            self._count = 0
+            self._staged = None
+            self._tree = None
+            self._stream_parts.clear()
+            self._stream_hashed = 0
+            self._stream_drained = 0
+            self._stream_off = 0
 
     def set_data(self, data) -> None:
         """Stream elements (poseidon_api.rs:117-122); the reference feeds
@@ -579,9 +766,87 @@ class PoseidonClient(DriverPrimitive):
                     -1, self.spec.nlimbs
                 )
             )
-            self._chunks.append(limbs)
-            self._count += limbs.shape[0]
-            self._staged = None      # new data invalidates the residency
+            with self._lock:
+                self._chunks.append(limbs)
+                self._count += limbs.shape[0]
+                self._staged = None  # new data invalidates the residency
+                self._maybe_stream()
+
+    # ------------------------------------------- streaming (feed-while-hash)
+    def _take_elems(self, count: int) -> np.ndarray:
+        """Consume `count` elements from the front of the chunk queue."""
+        out, need = [], count
+        while need:
+            head = self._chunks[0]
+            avail = head.shape[0] - self._stream_off
+            take = min(avail, need)
+            out.append(head[self._stream_off : self._stream_off + take])
+            self._stream_off += take
+            need -= take
+            if self._stream_off == head.shape[0]:
+                self._chunks.pop(0)
+                self._stream_off = 0
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
+
+    def _dispatch_leaf_block(self, nleaf: int) -> None:
+        """Hash the next `nleaf` complete leaf columns (async dispatch)."""
+        arr = np.ascontiguousarray(
+            self._take_elems(nleaf * LEAF_ARITY).reshape(
+                nleaf, LEAF_ARITY, self.spec.nlimbs
+            )
+        )
+        if self._builder._fused_lm() is not None:
+            lm = np.ascontiguousarray(arr.transpose(1, 2, 0))
+            part = self._builder.hash_leaves_staged(
+                _device_put(lm, self.ctx.device, self.ctx)
+            )
+            lanes_major = True                         # (L, nleaf) mont
+        else:
+            part = self._builder.hash_leaves(
+                _device_put(arr.astype(np.uint32), self.ctx.device, self.ctx)
+            )
+            lanes_major = False                        # (nleaf, L) mont
+        self._stream_parts.append((part, nleaf, lanes_major))
+        self._stream_hashed += nleaf
+
+    def _maybe_stream(self) -> None:
+        """Dispatch leaf hashing for every complete streamed block.
+        Caller holds the lock."""
+        p = self._param
+        if (p is None or p.stream_leaves <= 0
+                or p.tree_mode != TreeMode.TREE_C or self._builder is None):
+            return
+        nleaves = base_layer_size(p.tree_height)
+        while True:
+            pending = self._count - self._stream_hashed * LEAF_ARITY
+            take = min(p.stream_leaves, nleaves - self._stream_hashed)
+            if take <= 0 or pending < take * LEAF_ARITY:
+                return
+            self._dispatch_leaf_block(take)
+
+    def drain_stream(self) -> list:
+        """Drain leaf records hashed so far — BEFORE start_process, like
+        the reference's concurrent result loop (poseidon_api.rs:128-145,
+        driven from a second thread in integration_poseidon.rs:81-119).
+        Returns new PoseidonResult records since the last drain."""
+        with self._lock:
+            parts = self._stream_parts[self._stream_drained:]
+            if not parts:
+                return []
+            self._stream_drained = len(self._stream_parts)
+            offset = self._stream_hashed - sum(n for _, n, _ in parts)
+        f = self._builder.field
+        recs = []
+        for part, n, lanes_major in parts:
+            pm = jnp.swapaxes(part, 0, 1) if lanes_major else part
+            canon = np.asarray(f.jit_op("from_mont")(pm))
+            for h in canon:
+                recs.append(PoseidonResult(
+                    hash=limbs_to_bytes(h, self.spec),
+                    hash_id=offset, layer_id=0,
+                ))
+                offset += 1
+        return recs
 
     def get_last_element_sent_to_ring(self) -> int:
         """Element counter (sanity-test contract,
@@ -601,6 +866,38 @@ class PoseidonClient(DriverPrimitive):
             )
         with timed(self._timings, "start_s"):
             self._push_task()
+            if (self._param.stream_leaves > 0
+                    and self._param.tree_mode == TreeMode.TREE_C):
+                # streaming build: leaves were hashed as they arrived;
+                # hash the tail block and close the tree over the
+                # assembled leaf layer (the reference's engine emits
+                # internal layers once enough children exist — here the
+                # node levels close in one dispatch)
+                with self._lock:
+                    remaining = nleaves - self._stream_hashed
+                    if remaining:
+                        self._dispatch_leaf_block(remaining)
+                    if self._stream_parts[0][2]:       # lanes-major parts
+                        leaf_lm = (
+                            self._stream_parts[0][0]
+                            if len(self._stream_parts) == 1
+                            else jnp.concatenate(
+                                [p for p, _, _ in self._stream_parts],
+                                axis=-1,
+                            )
+                        )
+                        self._tree = self._builder.close_staged(leaf_lm, h)
+                    else:
+                        leaf = (
+                            self._stream_parts[0][0]
+                            if len(self._stream_parts) == 1
+                            else jnp.concatenate(
+                                [p for p, _, _ in self._stream_parts],
+                                axis=0,
+                            )
+                        )
+                        self._tree = self._builder.close(leaf, h)
+                return
             if (self._param.tree_mode == TreeMode.TREE_C
                     and self._builder._fused_lm() is not None):
                 # device residency: stage the lanes-major column layout
@@ -616,7 +913,7 @@ class PoseidonClient(DriverPrimitive):
                         arr.reshape(nleaves, LEAF_ARITY, self.spec.nlimbs)
                         .transpose(1, 2, 0)
                     )
-                    self._staged = _device_put(host, self.ctx.device)
+                    self._staged = _device_put(host, self.ctx.device, self.ctx)
                 self._tree = self._builder.build_staged(self._staged, h)
                 return
             arr = (
@@ -698,14 +995,24 @@ class PoseidonClient(DriverPrimitive):
 
     # ---------------------------------------------- status getters (parity)
     def get_num_of_pending_results(self) -> int:
-        """Undrained node count (poseidon_api.rs:156 analog)."""
-        return 0 if self._tree is None else len(self._tree)
+        """Undrained node count (poseidon_api.rs:156 analog).  During a
+        streaming build (before start_process) this counts leaf hashes
+        dispatched but not yet drained by drain_stream."""
+        if self._tree is None:
+            with self._lock:
+                return sum(
+                    n for _, n, _ in
+                    self._stream_parts[self._stream_drained:]
+                )
+        return len(self._tree)
 
     def get_last_node_id_in_ring(self) -> int:
         """Ring last-id analog (poseidon_api.rs:149-203): nodes produced
-        by the engine so far (all of them — building is level-synchronous
-        behind async dispatch)."""
-        return self.get_num_of_pending_results()
+        by the engine so far — streamed leaf hashes count as soon as
+        their block is dispatched."""
+        if self._tree is None:
+            return self._stream_hashed
+        return len(self._tree)
 
     def get_api(self) -> dict:
         """Register-dump analog (log_api_values,
@@ -714,6 +1021,7 @@ class PoseidonClient(DriverPrimitive):
             "elements_staged": self._count,
             "pending_results": self.get_num_of_pending_results(),
             "device_residency": self._staged is not None,
+            "streamed_leaves": self._stream_hashed,
             "pending_tasks": self.pending_tasks,
             "timings": dataclasses.asdict(self._timings),
             "health": dataclasses.asdict(self.ctx.health()),

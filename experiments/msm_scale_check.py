@@ -131,6 +131,64 @@ for logn in SIZES:
     del pts, scal, out
     gc.collect()
 
+# ---- streamed-client pass at the largest size (msm_api.rs:156-217
+# parity: the task is queued first, then 2^20-point chunks are staged and
+# consumed as they arrive).  Two wins over full residency: the
+# host->device copy of chunk k+1 overlaps compute of chunk k, and the
+# full operand set is never resident — so the efficient 2^20 chunk fits
+# at 2^26 (full residency forced chunk_log2=19 there: the 1.33 -> 1.16
+# M pts/s drop).  Timed region INCLUDES all staging: this is end-to-end
+# client throughput.
+if os.environ.get("BLZ_MSM_STREAM", "1") == "1":
+    from blaze_tpu.runtime.clients import MSMClient, MSMInit, MSMInput, MSMParams
+
+    logn = max(SIZES)
+    n = 1 << logn
+    chunk = 1 << 20
+    print(f"stream 2^{logn}: generating tiled instance...", flush=True)
+    points, scalars, exp_aff, _ = tiled_msm_instance(spec, n, seed=1000 + logn)
+    cl = MSMClient(MSMInit(curve=CURVE),
+                   config=MSMConfig(chunk_log2=20))
+    cl.initialize(MSMParams(nof_elements=n))
+
+    def run_stream():
+        t0 = time.perf_counter()
+        cl.start_process()
+        for lo in range(0, n, chunk):
+            cl.set_data(MSMInput(scalars=scalars[lo : lo + chunk],
+                                 points=points[lo : lo + chunk]))
+        cl.wait_result()
+        return time.perf_counter() - t0
+
+    dt = run_stream()                     # warmup/compile
+    res = cl.result()
+    from blaze_tpu.curves import decode_projective_result
+    from blaze_tpu.fields import limbs_to_int
+
+    proj = decode_projective_result(res.result, spec)
+    x, y, z = (limbs_to_int(proj[i]) for i in range(3))
+    zinv = pow(z, -1, spec.fq.p)
+    got = (x * zinv % spec.fq.p, y * zinv % spec.fq.p)
+    ok = got == exp_aff
+    fails += not ok
+    print(f"stream 2^{logn}: oracle {'OK' if ok else 'FAIL'} "
+          f"(warm {dt:.1f}s)", flush=True)
+    best = float("inf")
+    for _ in range(ITERS):
+        dt = run_stream()
+        cl.result()
+        best = min(best, dt)
+    results["runs"][f"2^{logn}_streamed"] = {
+        "points_per_s": round(n / best, 1),
+        "ms": round(best * 1e3, 2),
+        "oracle_exact": ok,
+        "chunk_log2": 20,
+        "staging": "in-band (overlapped)",
+    }
+    save()
+    print(f"stream 2^{logn}: {best*1e3:.0f} ms = {n/best/1e6:.3f} M pts/s",
+          flush=True)
+
 results["ok"] = fails == 0
 with open(ART, "w") as f:
     json.dump(results, f, indent=1)

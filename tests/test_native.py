@@ -55,6 +55,53 @@ def test_transpose_roundtrip():
         codec_mod._LIB = saved
 
 
+def test_codec_against_independent_goldens():
+    """Every marshalling layout vs committed fixtures from the stdlib-only
+    generator (scripts/gen_codec_goldens.py) — the reference's golden
+    bank-file test mode (ntt_data.rs:159-232).  Both the native C++ path
+    and the numpy fallback must reproduce the independent bytes (a shared
+    misunderstanding between the two in-repo paths can't pass here)."""
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    blobs = {}
+    for name in ("input", "banks", "transposed", "blocked"):
+        with open(os.path.join(fixdir, f"codec_{name}.bin"), "rb") as f:
+            blobs[name] = f.read()
+    data = blobs["input"]
+    nelems, elem, nbanks, block = 1024, 32, 16, 128
+    L = elem // 2
+
+    for use_native in (True, False):
+        saved = codec_mod._LIB
+        if not use_native:
+            codec_mod._LIB = False
+        try:
+            if use_native and not have_native():
+                continue
+            banks = bank_split(data, elem, nbanks)
+            assert b"".join(banks) == blobs["banks"], f"native={use_native}"
+            assert bank_merge(banks, elem) == data
+
+            t = transpose(data, 16, 64, elem)
+            assert t == blobs["transposed"], f"native={use_native}"
+
+            limbs = bytes_to_limbs(data, elem)
+            # limb l of element i == LE u16 at byte offset i*elem + 2l
+            want = np.frombuffer(data, dtype="<u2").reshape(nelems, L)
+            assert np.array_equal(limbs, want.astype(np.uint32))
+            assert limbs_to_bytes(limbs, elem) == data
+
+            xb = codec_mod.to_blocked(want.astype(np.uint16), block)
+            assert xb.astype("<u2").tobytes() == blobs["blocked"], (
+                f"native={use_native}"
+            )
+            back = codec_mod.from_blocked(xb, block)
+            assert np.array_equal(back, want)
+        finally:
+            codec_mod._LIB = saved
+
+
 def test_blocked_roundtrip_matches_numpy():
     """Native blocked split/merge == the pure-numpy layout transform."""
     import numpy as np

@@ -35,6 +35,30 @@ def test_grain_constants_deterministic():
     assert p3.round_constants[:4] != p1.round_constants[:4]
 
 
+@pytest.mark.parametrize("t", [9, 12])
+def test_grain_constants_vs_independent_fixture(t):
+    """hash/params.py vs the committed constants from the stdlib-only
+    generator (scripts/gen_poseidon_goldens.py) — a third implementation
+    of the published Grain procedure in a different style (integer
+    register vs bit list, Fermat vs extended-gcd inversion).  The oracle
+    (poseidon_ref.py) reuses params.py's constants, so this fixture is
+    the only derivation-independent check; no vetted third-party vector
+    is available offline (the reference ships none — its constants are an
+    opaque user CSV, poseidon_api.rs:205-243)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "poseidon_constants.json"
+    )
+    with open(path) as f:
+        fix = json.load(f)[f"bls12_381_fr_t{t}"]
+    params = generate_params(SPEC, t)
+    assert params.r_f == fix["r_f"] and params.r_p == fix["r_p"]
+    assert [hex(c) for c in params.round_constants] == fix["rc_hex"]
+    assert [[hex(v) for v in row] for row in params.mds] == fix["mds_hex"]
+
+
 @pytest.mark.parametrize("t", [3, 9, 12])
 def test_permutation_matches_oracle(t):
     params = generate_params(SPEC, t)
