@@ -128,7 +128,7 @@ def bench_msm(logn: int, curve_name: str, iters: int) -> dict:
     nwin = -(-spec.fr.bits // c)
     muls = nwin * n * 11
     mul_rate = muls / best
-    kernel_ceiling = 1.1e9  # measured muls/s, v5e, this round's kernel
+    kernel_ceiling = 7.71e8  # measured muls/s (MULBENCH.json, this chip)
     return {
         "metric": f"{curve_name}_msm_2^{logn}",
         "value": round(n / best, 1),

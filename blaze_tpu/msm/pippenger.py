@@ -817,54 +817,24 @@ class MSM:
         nwin = -(-(scalar_bits or self.curve.spec.fr.bits) // c)
         chunk = 1 << self.config.chunk_log2
 
-        if self.config.fused_active():
-            if n <= chunk:
-                return self._msm_fused_jit(
-                    points_aff_mont, scalars, c, scalar_bits, True
-                )
-            wsums = None
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
-                if lanes_major:
-                    pslice = points_aff_mont[:, lo:hi]
-                    sslice = scalars[:, lo:hi]
-                else:
-                    pslice = points_aff_mont[lo:hi]
-                    sslice = scalars[lo:hi]
-                part = self._msm_fused_jit(
-                    pslice, sslice, c, scalar_bits, False,
-                )
-                wsums = part if wsums is None else self._add_wsums(wsums, part)
-            return self._fold_jit(wsums, c)
-        if lanes_major:
-            raise ValueError(
-                "lanes-major (2L, N) residency needs the fused TPU path"
+        if self.config.fused_active() and n <= chunk:
+            # single chunk: digits -> sort -> fused scan -> bucket
+            # reduction -> Horner fold in ONE dispatch
+            return self._msm_fused_jit(
+                points_aff_mont, scalars, c, scalar_bits, True
             )
-
-        # portable path wants full-width inputs (u16 residency is a
-        # fused-path optimization)
-        if points_aff_mont.dtype == jnp.uint16:
-            points_aff_mont = points_aff_mont.astype(jnp.uint32)
-        if scalars.dtype == jnp.uint16:
-            scalars = scalars.astype(jnp.uint32)
-
-        ngroups = -(-nwin // max(1, self.config.group_windows))
-        G = -(-nwin // ngroups)
-        wpad = ngroups * G
-
-        wsums = None  # (wpad, 3, L) running per-window partial sums
+        wsums = None
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            digits = self._digits_jit(scalars[lo:hi], c, nwin)
-            if wpad > nwin:
-                digits = jnp.pad(digits, ((0, wpad - nwin), (0, 0)))
-            parts = [
-                self._group_jit(points_aff_mont[lo:hi], digits[g * G : (g + 1) * G], c)
-                for g in range(ngroups)
-            ]
-            part = jnp.concatenate(parts, axis=0)    # (wpad, 3, L)
-            wsums = part if wsums is None else self._add_wsums(wsums, part)
-        return self._fold_jit(wsums[:nwin], c)
+            if lanes_major:
+                pslice = points_aff_mont[:, lo:hi]
+                sslice = scalars[:, lo:hi]
+            else:
+                pslice = points_aff_mont[lo:hi]
+                sslice = scalars[lo:hi]
+            part = self.msm_partial(pslice, sslice, c, scalar_bits)
+            wsums = self.accumulate(wsums, part)
+        return self.finalize(wsums, c)
 
     def msm_precomputed(self, expanded_points, scalars, factor: int,
                         window_bits: int | None = None):

@@ -104,6 +104,11 @@ class FusedNTT:
             if a == 0:
                 continue
             A = 1 << a
+            # Per-part lane tile: the base kernel's scoped VMEM scales
+            # with K * T (measured on chip: K = 512, T = 512 needs 101 MB
+            # — just past the 100 MB scoped limit), so cap the product at
+            # 2^17 (K = 512 -> T = 256 ~ 51 MB).
+            Ta = max(128, min(self.ktile, (1 << 17) // A))
             idx = np.zeros(A, dtype=np.int64)
             for s in range(a):
                 m = 1 << s
@@ -117,7 +122,7 @@ class FusedNTT:
                                 axis=0)[:, :, None]
                 # lane-expanded u16 (kernels.py needs concrete lanes)
                 self._packs[(a, inv)] = (
-                    jnp.broadcast_to(pack, (A, L, self.ktile))
+                    jnp.broadcast_to(pack, (A, L, Ta))
                     .astype(jnp.uint16) + jnp.uint16(0)
                 )
 

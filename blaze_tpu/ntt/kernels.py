@@ -191,37 +191,63 @@ class NTTKernels(PallasFieldOps):
 
         L = self.L
 
-        def kernel(*args):
-            fc = self.read_consts(args)
-            y_ref, t1_ref, t2_ref, o_ref = args[4:]
-            y = y_ref[:].astype(jnp.uint32)
-            t1 = t1_ref[:].astype(jnp.uint32)     # (BA, L, 1) or (BA, L, S)
-            t2 = t2_ref[:].astype(jnp.uint32)
-            acc = self._mont_mul(y, t1, fc)
-            acc = self._mont_mul(acc, t2, fc)
-            o_ref[:] = acc.astype(jnp.uint16)
+        # The tables ride FULL-LANE blocks — (BA, L, J) / (BA, L, S),
+        # block index constant along the fast grid axes so the pipeline
+        # fetches each row-block ONCE per i (Mosaic skips re-copies when
+        # the block index is unchanged).  A (BA, L, 1) per-cell column
+        # block is NOT lowerable on real TPU (the last block dim must be
+        # a lane multiple or equal to the array's — the interpret-mode
+        # tests could not catch this); the needed column is selected
+        # in-kernel by an iota+where reduction (exact: limbs < 2^16 in
+        # int32), which is noise next to the cell's Montgomery muls.
+        def _col(tab, idx):
+            lane = jax.lax.broadcasted_iota(jnp.int32, tab.shape, 2)
+            return jnp.sum(
+                jnp.where(lane == idx, tab.astype(jnp.int32), jnp.int32(0)),
+                axis=2, keepdims=True,
+            ).astype(jnp.uint32)
 
         if B == 1:
-            # grid (A/BA, J); cell (BA, L, S): tw1 is a per-cell column,
-            # tw2 the S-lane block shared by every j
+            # grid (A/BA, J); cell (BA, L, S): tw1 a column picked by j,
+            # tw2 the S-lane block aligned with the cell lanes
             grid = (A // BA, J)
             y_spec = pl.BlockSpec((BA, L, S), lambda i, j: (i, 0, j),
                                   memory_space=pltpu.VMEM)
-            t1_spec = pl.BlockSpec((BA, L, 1), lambda i, j: (i, 0, j),
+            t1_spec = pl.BlockSpec((BA, L, J), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
             t2_spec = pl.BlockSpec((BA, L, S), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
+
+            def kernel(*args):
+                fc = self.read_consts(args)
+                y_ref, t1_ref, t2_ref, o_ref = args[4:]
+                y = y_ref[:].astype(jnp.uint32)
+                t1 = _col(t1_ref[:], pl.program_id(1))
+                t2 = t2_ref[:].astype(jnp.uint32)
+                acc = self._mont_mul(t1, y, fc)
+                acc = self._mont_mul(acc, t2, fc)
+                o_ref[:] = acc.astype(jnp.uint16)
         else:
             # grid (A/BA, J, S); cell (BA, L, B): both twiddles are
-            # per-cell columns (broadcast over the B batch lanes)
+            # columns picked by (jo, s), broadcast over the B batch lanes
             grid = (A // BA, J, S)
             y_spec = pl.BlockSpec(
                 (BA, L, B), lambda i, jo, s: (i, 0, jo * S + s),
                 memory_space=pltpu.VMEM)
-            t1_spec = pl.BlockSpec((BA, L, 1), lambda i, jo, s: (i, 0, jo),
+            t1_spec = pl.BlockSpec((BA, L, J), lambda i, jo, s: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
-            t2_spec = pl.BlockSpec((BA, L, 1), lambda i, jo, s: (i, 0, s),
+            t2_spec = pl.BlockSpec((BA, L, S), lambda i, jo, s: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
+
+            def kernel(*args):
+                fc = self.read_consts(args)
+                y_ref, t1_ref, t2_ref, o_ref = args[4:]
+                y = y_ref[:].astype(jnp.uint32)
+                t1 = _col(t1_ref[:], pl.program_id(1))
+                t2 = _col(t2_ref[:], pl.program_id(2))
+                acc = self._mont_mul(t1, y, fc)
+                acc = self._mont_mul(t2, acc, fc)
+                o_ref[:] = acc.astype(jnp.uint16)
 
         call = pl.pallas_call(
             kernel,

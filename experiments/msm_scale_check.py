@@ -89,7 +89,8 @@ def stage_points(curve, points):
     return buf
 
 
-for logn in SIZES:
+def run_size(logn):
+    global fails
     n = 1 << logn
     # chunk 2^19 above 2^24: the per-chunk gather/emit transients of a
     # 2^20 chunk (~8 GiB) plus 8 GiB of 2^26 residency exceed v5e HBM
@@ -131,6 +132,19 @@ for logn in SIZES:
     del pts, scal, out
     gc.collect()
 
+
+for logn in SIZES:
+    # one size failing (e.g. full residency exceeding this chip's HBM at
+    # 2^26) must not take down the others or the streamed pass below
+    try:
+        run_size(logn)
+    except Exception as e:
+        fails += 1
+        results["runs"][f"2^{logn}"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        save()
+        print(f"2^{logn}: FAILED {type(e).__name__}", flush=True)
+        gc.collect()
+
 # ---- streamed-client pass at the largest size (msm_api.rs:156-217
 # parity: the task is queued first, then 2^20-point chunks are staged and
 # consumed as they arrive).  Two wins over full residency: the
@@ -139,10 +153,9 @@ for logn in SIZES:
 # at 2^26 (full residency forced chunk_log2=19 there: the 1.33 -> 1.16
 # M pts/s drop).  Timed region INCLUDES all staging: this is end-to-end
 # client throughput.
-if os.environ.get("BLZ_MSM_STREAM", "1") == "1":
+def run_streamed(logn):
+    global fails
     from blaze_tpu.runtime.clients import MSMClient, MSMInit, MSMInput, MSMParams
-
-    logn = max(SIZES)
     n = 1 << logn
     chunk = 1 << 20
     print(f"stream 2^{logn}: generating tiled instance...", flush=True)
@@ -188,6 +201,17 @@ if os.environ.get("BLZ_MSM_STREAM", "1") == "1":
     save()
     print(f"stream 2^{logn}: {best*1e3:.0f} ms = {n/best/1e6:.3f} M pts/s",
           flush=True)
+
+if os.environ.get("BLZ_MSM_STREAM", "1") == "1":
+    try:
+        run_streamed(max(SIZES))
+    except Exception as e:
+        fails += 1
+        results["runs"][f"2^{max(SIZES)}_streamed"] = {
+            "error": f"{type(e).__name__}: {e}"[:300]
+        }
+        save()
+        print(f"stream: FAILED {type(e).__name__}", flush=True)
 
 results["ok"] = fails == 0
 with open(ART, "w") as f:
