@@ -61,11 +61,11 @@ class ProofPipeline:
 
     # ------------------------------------------------------- single-chip
     def _spectral_to_scalars_blocked(self, yb):
-        """Blocked (K/128, L, 128) u16 spectral -> lanes-major (L, 2^m)
+        """Blocked (K/B, L, B) u16 spectral -> lanes-major (L, 2^m)
         u16 scalars (the fused MSM's resident scalar layout) — a pure
         device-side relayout of the first 2^msm_logn entries."""
-        rows = (1 << self.msm_logn) // 128
-        sl = yb[:rows]                          # (rows, L, 128)
+        rows = (1 << self.msm_logn) // self.plan.block
+        sl = yb[:rows]                          # (rows, L, B)
         return jnp.moveaxis(sl, 1, 0).reshape(self.fr.nlimbs, -1)
 
     def run_batches(self, coeff_batches, points_resident,
@@ -85,6 +85,11 @@ class ProofPipeline:
         for xb in coeff_batches:
             yb = self.plan.ntt16b(jnp.asarray(xb))          # dispatch NTT k
             scal = self._spectral_to_scalars_blocked(yb)
+            # drop the 4 GiB spectral buffer's ref NOW: the scalar slice
+            # is its own (much smaller) buffer once the relayout executes,
+            # and holding yb through the MSM dispatch pushes the 2-deep
+            # peak past a 16 GiB chip (measured RESOURCE_EXHAUSTED)
+            del yb
             res = self.msm(points_resident, scal,
                            window_bits=window_bits)         # dispatch MSM k
             pending.append(res)

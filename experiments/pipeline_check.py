@@ -57,9 +57,13 @@ pts_res = points_to_resident(curve, jnp.asarray(points[idx]))
 hard_sync(pts_res)
 print("bases resident", flush=True)
 
-# chunk_log2=20 matches bench.py's MSM shapes -> compile-cache reuse
+# chunk 2^19 by default: the 2-deep pipeline holds TWO 4 GiB NTT
+# buffers in flight next to one MSM chunk's transients and the 1.6 GiB
+# base residency — a 2^20 chunk's ~4 GiB transients push the peak past
+# a 16 GiB chip (measured RESOURCE_EXHAUSTED)
+CHUNK = int(os.environ.get("BLZ_PIPE_CHUNK", "19"))
 pipe = ProofPipeline(curve, NTT_LOGN, MSM_LOGN,
-                     config=MSMConfig(chunk_log2=20))
+                     config=MSMConfig(chunk_log2=CHUNK))
 L = spec.fr.nlimbs
 rows = (1 << NTT_LOGN) // 128
 
